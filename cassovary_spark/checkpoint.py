@@ -1,0 +1,120 @@
+"""Per-superstep checkpointing with per-partition lineage and metrics.
+
+The reference's iterative driver (algorithms/linkanalysis/LinkAnalysis.scala:87-109)
+already accepts a non-default initial state for ``run(init)``; this module is
+the distributed extension: every superstep persists the full rank/label state
+plus convergence metrics and per-partition lineage, so a killed run resumes
+from the last complete iteration (``run(init=latest)``).
+
+Storage: an Iceberg table in production (snapshot isolation gives atomic
+supersteps); in this sandbox the Iceberg runtime jar is unavailable, so the
+store writes parquet-per-iteration directories with an atomically-renamed
+``_SUCCESS_META.json`` marker carrying the metrics — the semantics (atomic
+complete-iteration visibility, resume from max complete iteration) are
+identical, and the API would not change under Iceberg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+META_NAME = "_SUCCESS_META.json"
+
+
+@dataclass
+class CheckpointStore:
+    """Parquet/Iceberg-style superstep store under ``path/run_id/iter=NNNNN``."""
+
+    path: str
+    run_id: str = "default"
+
+    def _iter_dir(self, iteration: int) -> str:
+        return os.path.join(self.path, self.run_id, f"iter={iteration:05d}")
+
+    def save(self, iteration: int, state: DataFrame, metrics: dict[str, Any]) -> DataFrame:
+        """Write one superstep's state + metrics; returns the re-read state
+        (lineage truncated to a parquet scan — this is also how iterative
+        plans avoid exponential plan growth)."""
+        out = self._iter_dir(iteration)
+        state.write.mode("overwrite").parquet(out)
+
+        # per-partition lineage: rows per file as written (parquet file = unit
+        # of reread parallelism), recorded so a resumed run can verify its
+        # input matches what the dead run produced.
+        spark = state.sparkSession
+        reread = spark.read.parquet(out)
+        lineage = [
+            {"file": os.path.basename(r["file"]), "rows": r["rows"]}
+            for r in (
+                reread.groupBy(F.input_file_name().alias("file"))
+                .agg(F.count("*").alias("rows"))
+                .collect()
+            )
+        ]
+        meta = {
+            "run_id": self.run_id,
+            "iteration": iteration,
+            "wall_time": time.time(),
+            "metrics": metrics,
+            "lineage": sorted(lineage, key=lambda d: d["file"]),
+        }
+        # atomic rename => a crashed writer never leaves a half-visible iteration
+        fd, tmp = tempfile.mkstemp(dir=out, suffix=".tmpmeta")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.rename(tmp, os.path.join(out, META_NAME))
+        return reread
+
+    def complete_iterations(self) -> list[int]:
+        base = os.path.join(self.path, self.run_id)
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for name in os.listdir(base):
+            if name.startswith("iter=") and os.path.exists(
+                os.path.join(base, name, META_NAME)
+            ):
+                out.append(int(name.split("=")[1]))
+        return sorted(out)
+
+    def load(self, spark: SparkSession, iteration: int) -> tuple[DataFrame, dict]:
+        d = self._iter_dir(iteration)
+        with open(os.path.join(d, META_NAME)) as f:
+            meta = json.load(f)
+        return spark.read.parquet(d), meta
+
+    def latest(self, spark: SparkSession) -> tuple[int, DataFrame, dict] | None:
+        its = self.complete_iterations()
+        if not its:
+            return None
+        df, meta = self.load(spark, its[-1])
+        return its[-1], df, meta
+
+
+@dataclass
+class IterationMetrics:
+    """Accumulated per-superstep convergence metrics for a run."""
+
+    history: list[dict[str, Any]] = field(default_factory=list)
+
+    def record(self, iteration: int, error: float, **extra: Any) -> dict[str, Any]:
+        row = {"iteration": iteration, "error": error, **extra}
+        self.history.append(row)
+        return row
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage between supersteps without a checkpoint store.
+
+    ``localCheckpoint(eager=True)`` persists partitions on executors and
+    truncates the logical plan — the in-memory analog of CheckpointStore.save.
+    """
+    return df.localCheckpoint(eager=True)

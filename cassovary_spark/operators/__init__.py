@@ -1,0 +1,43 @@
+"""Graph operators: link analysis, components, triangles, centrality,
+similarity, traversals — each an iterative (or single-pass) DataFrame program.
+"""
+
+from cassovary_spark.operators.pagerank import pagerank, PageRankResult
+from cassovary_spark.operators.components import connected_components
+from cassovary_spark.operators.labelprop import label_propagation
+from cassovary_spark.operators.triangles import triangle_count, transitivity_stats
+from cassovary_spark.operators.centrality import degree_centrality, closeness_centrality
+from cassovary_spark.operators.hits import hits, HitsResult
+from cassovary_spark.operators.similarity import (
+    jaccard_similarity_top_k,
+    cosine_similarity_top_k,
+)
+from cassovary_spark.operators.mutual import mutual_edge_count
+from cassovary_spark.operators.traversals import (
+    bfs,
+    multi_source_bfs,
+    all_paths_walk,
+    random_walk_visits,
+    personalized_pagerank,
+)
+
+__all__ = [
+    "pagerank",
+    "PageRankResult",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "transitivity_stats",
+    "degree_centrality",
+    "closeness_centrality",
+    "hits",
+    "HitsResult",
+    "jaccard_similarity_top_k",
+    "cosine_similarity_top_k",
+    "mutual_edge_count",
+    "bfs",
+    "multi_source_bfs",
+    "all_paths_walk",
+    "random_walk_visits",
+    "personalized_pagerank",
+]

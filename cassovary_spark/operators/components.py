@@ -1,0 +1,101 @@
+"""Weakly-connected components via min-label propagation with pointer-jumping.
+
+The reference has no named CC implementation — reachability is derivable from
+``BreadthFirstTraverser`` (graph/Traverser.scala:426) — but the north rule
+requires exact component assignments. Semantics: on the mutualized
+(undirected) edge set, every vertex is labeled with the MINIMUM vertex id of
+its component (deterministic, reference-free ground truth).
+
+Scale design:
+- "hash-min" superstep: label'(v) = min(label(v), min_{u~v} label(u)) — one
+  co-partitioned join + partial-aggregating groupBy per superstep; converges
+  in O(diameter) supersteps.
+- pointer-jumping acceleration (label(v) <- label(label(v)), one self-join on
+  the SMALL label table) collapses chains in O(log diameter) — the same idea
+  as large-star/small-star (Kiveris et al., "Connected Components in
+  MapReduce and Beyond") without rewriting the big edge table each round.
+- convergence test: sum(label) is strictly decreasing until fixpoint (labels
+  are per-vertex monotone non-increasing), so one tiny scalar agg per
+  superstep detects the fixpoint with no extra join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassovary_spark.checkpoint import CheckpointStore, materialize
+from cassovary_spark.graph import mutualize, vertices_of
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int | None = None,
+    num_partitions: int | None = None,
+    pointer_jump: bool = True,
+    checkpoint: CheckpointStore | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """Exact weakly-connected components; returns ``(id, component)`` where
+    ``component`` is the min vertex id in the component."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    und = mutualize(edges).repartition(p, "src").persist()
+    verts = vertices_of(edges).repartition(p, "id").persist()
+
+    labels = None
+    start_iter = 0
+    if resume and checkpoint is not None:
+        got = checkpoint.latest(spark)
+        if got is not None:
+            start_iter, labels, _meta = got
+            labels = labels.repartition(p, "id")
+    if labels is None:
+        labels = verts.select("id", F.col("id").alias("component"))
+    labels = materialize(labels)
+
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    iteration = start_iter
+    while max_iterations is None or iteration < max_iterations:
+        # gather: min neighbor label
+        nbr_min = (
+            und.join(labels.select(F.col("id").alias("dst"), "component"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+        )
+        if pointer_jump:
+            # label(v) <- label(label(v)): self-join on the label table only
+            lut = new_labels.select(
+                F.col("id").alias("component"),
+                F.col("component").alias("jump"),
+            )
+            new_labels = (
+                new_labels.join(lut, "component", "left")
+                .select("id", F.coalesce("jump", "component").alias("component"))
+            )
+        new_labels = materialize(new_labels.repartition(p, "id"))
+        iteration += 1
+
+        cur_sum = new_labels.agg(F.sum("component")).first()[0]
+        labels = new_labels
+        if checkpoint is not None:
+            labels = checkpoint.save(
+                iteration, labels, {"error": float(prev_sum - cur_sum), "label_sum": cur_sum}
+            )
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    und.unpersist()
+    verts.unpersist()
+    return labels.select("id", "component")

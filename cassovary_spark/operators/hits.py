@@ -1,0 +1,133 @@
+"""HITS (hubs & authorities), matching the reference iteration exactly
+(algorithms/linkanalysis/Hits.scala):
+
+- init: hubs = 1/N on existing nodes, authorities = 0 (:75-79)
+- per iteration (:81-103):
+    auth'[v] = sum_{u->v} hubs[u]            (computed first)
+    hub'[u]  = sum_{u->v} auth'[v]           (uses the NEW authorities!)
+    scale both by their MAX (scale(), :53-56; d <= 0 leaves unscaled)
+- error = T1(hubs, hub') computed on the max-scaled hubs (:102)
+- terminate: iteration >= max_iterations (default 100) or error <= tolerance
+  (1e-8) (HitsParams :24-27, LinkAnalysis.scala:98-100)
+- postRun with normalize=True: scale both by their SUM (:105-110)
+
+Scale: two co-partitioned join+groupBy passes per superstep over a stationary
+by-src / by-dst dual-orientation edge layout (the distributed analog of the
+reference's direction-aware gather/scatter choice, Hits.scala:85-99).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassovary_spark.checkpoint import materialize
+from cassovary_spark.graph import vertices_of
+
+
+@dataclass
+class HitsResult:
+    scores: DataFrame  # (id, hub, authority)
+    error: float
+    iterations: int
+    history: list[dict] = field(default_factory=list)
+
+
+def hits(
+    edges: DataFrame,
+    max_iterations: int | None = 100,
+    tolerance: float = 1e-8,
+    normalize: bool = True,
+    num_partitions: int | None = None,
+) -> HitsResult:
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    verts = vertices_of(edges).repartition(p, "id").persist()
+    n = verts.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "id long, hub double, authority double")
+        return HitsResult(empty, 0.0, 0)
+
+    # dual orientation: gather-for-auth joins on src, gather-for-hub on dst
+    by_src = edges.select("src", "dst").repartition(p, "src").persist()
+    by_dst = edges.select("src", "dst").repartition(p, "dst").persist()
+
+    state = materialize(
+        verts.select(
+            "id", F.lit(1.0 / n).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    )
+    error = 100.0 + tolerance
+    iteration = 0
+    history: list[dict] = []
+
+    def terminated(it: int, err: float) -> bool:
+        if max_iterations is not None and it >= max_iterations:
+            return True
+        return err <= tolerance
+
+    while not terminated(iteration, error):
+        auth_raw = (
+            by_src.join(state.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        auth_full = (
+            verts.join(auth_raw, "id", "left")
+            .select("id", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
+            .repartition(p, "id")
+        )
+        auth_full = materialize(auth_full)
+
+        hub_raw = (
+            by_dst.join(auth_full.select(F.col("id").alias("dst"), "a_raw"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a_raw").alias("h_raw"))
+        )
+        joined = (
+            verts.join(hub_raw, "id", "left")
+            .join(auth_full, "id")
+            .select("id", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"), "a_raw")
+        )
+        joined = materialize(joined.repartition(p, "id"))
+
+        maxes = joined.agg(
+            F.max("h_raw").alias("hmax"), F.max("a_raw").alias("amax")
+        ).first()
+        hmax = maxes["hmax"] if (maxes["hmax"] or 0) > 0 else 1.0
+        amax = maxes["amax"] if (maxes["amax"] or 0) > 0 else 1.0
+
+        new_state = joined.select(
+            "id",
+            (F.col("h_raw") / F.lit(hmax)).alias("hub"),
+            (F.col("a_raw") / F.lit(amax)).alias("authority"),
+        )
+        new_state = materialize(new_state)
+
+        error = (
+            state.select("id", F.col("hub").alias("prev_hub"))
+            .join(new_state.select("id", "hub"), "id")
+            .agg(F.sum(F.abs(F.col("prev_hub") - F.col("hub"))).alias("e"))
+            .first()["e"]
+        )
+        iteration += 1
+        history.append({"iteration": iteration, "error": error})
+        state = new_state
+
+    if normalize:
+        sums = state.agg(F.sum("hub").alias("hs"), F.sum("authority").alias("as_")).first()
+        hs = sums["hs"] if (sums["hs"] or 0) > 0 else 1.0
+        as_ = sums["as_"] if (sums["as_"] or 0) > 0 else 1.0
+        state = state.select(
+            "id",
+            (F.col("hub") / F.lit(hs)).alias("hub"),
+            (F.col("authority") / F.lit(as_)).alias("authority"),
+        )
+
+    verts.unpersist()
+    by_src.unpersist()
+    by_dst.unpersist()
+    return HitsResult(state.select("id", "hub", "authority"), error, iteration, history)

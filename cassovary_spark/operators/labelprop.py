@@ -1,0 +1,93 @@
+"""Synchronous label propagation (community detection, LPA).
+
+The reference has no LPA (its ``graph/labels/`` package is a vertex property
+store, not an algorithm); the north rule requires one, so the semantics are
+defined here precisely and deterministically (and mirrored by the pure-Python
+oracle in tests):
+
+- undirected (mutualized) edge set
+- init: label(v) = v
+- superstep: label'(v) = the most frequent label among v's neighbors; ties
+  broken by SMALLEST label. Isolated vertices keep their label.
+- terminate when no label changed or ``max_iterations`` reached. Synchronous
+  LPA can 2-cycle on bipartite-ish structures, so ``max_iterations`` is a
+  hard cap (oscillation counts as non-convergence and returns the current
+  state deterministically).
+
+Scale: one join (edges x labels, co-partitioned) + one count groupBy + one
+window top-1 per superstep; the window partitions by vertex, so hub skew is
+bounded by distinct neighbor LABELS per vertex (<< neighbor count after the
+pre-aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cassovary_spark.checkpoint import CheckpointStore, materialize
+from cassovary_spark.graph import mutualize, vertices_of
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iterations: int = 20,
+    num_partitions: int | None = None,
+    checkpoint: CheckpointStore | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """Deterministic synchronous LPA; returns ``(id, label)``."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    und = mutualize(edges).repartition(p, "src").persist()
+    verts = vertices_of(edges).repartition(p, "id").persist()
+
+    labels = None
+    start_iter = 0
+    if resume and checkpoint is not None:
+        got = checkpoint.latest(spark)
+        if got is not None:
+            start_iter, labels, _ = got
+            labels = labels.repartition(p, "id")
+    if labels is None:
+        labels = verts.select("id", F.col("id").alias("label"))
+    labels = materialize(labels)
+
+    top1 = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+
+    iteration = start_iter
+    while iteration < max_iterations:
+        nbr_label_counts = (
+            und.join(labels.select(F.col("id").alias("dst"), "label"), "dst")
+            .groupBy(F.col("src").alias("id"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        mode_label = (
+            nbr_label_counts.withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(mode_label, "id", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .repartition(p, "id")
+        )
+        new_labels = materialize(new_labels)
+        iteration += 1
+
+        changed = (
+            labels.select("id", F.col("label").alias("prev"))
+            .join(new_labels, "id")
+            .filter(F.col("prev") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if checkpoint is not None:
+            labels = checkpoint.save(iteration, labels, {"error": float(changed)})
+        if changed == 0:
+            break
+
+    und.unpersist()
+    verts.unpersist()
+    return labels.select("id", "label")

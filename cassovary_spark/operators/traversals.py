@@ -1,0 +1,302 @@
+"""Traversals and walks: BFS frontiers, all-paths walks, random walks,
+Monte-Carlo and exact personalized PageRank.
+
+Reference semantics:
+- BreadthFirstTraverser (graph/Traverser.scala:426-450): FIFO visit-once BFS
+  from a seed set recording first-visit depth; limits maxDepth and maxDegree
+  (a node whose out-degree exceeds maxDegree is visited but NOT expanded,
+  Walk.Limits, :202-205).
+- AllPathsWalk (graph/Traverser.scala:463-478): BFS-order walk with unlimited
+  revisits — per-node visit multiplicity.
+- RandomBoundedTraverser (graph/Traverser.scala:75-136): fixed-step random
+  walk with reset probability, seeded.
+- GraphUtils.calculatePersonalizedReputation (graph/GraphUtils.scala:142-154):
+  visit counts of a reset random walk ~ personalized PageRank.
+
+Scale design: every traversal is a frontier DataFrame advanced by a
+co-partitioned join against the stationary edge table; ``visited`` state is a
+cumulative DataFrame, lineage cut each level. Random walks keep one row per
+walker (millions of walkers = one modest DataFrame) and sample neighbors
+JVM-side via ``F.rand`` over grouped adjacency arrays — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassovary_spark.checkpoint import materialize
+from cassovary_spark.graph import out_degrees, vertices_of
+
+
+def _seed_df(spark, seeds, name: str = "id") -> DataFrame:
+    return spark.createDataFrame([(int(s),) for s in seeds], f"{name} long")
+
+
+def bfs(
+    edges: DataFrame,
+    seeds: list[int],
+    max_depth: int | None = None,
+    max_degree: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Visit-once BFS; returns ``(id, depth)`` of first visit.
+
+    ``max_degree``: hub nodes (out-degree > max_degree) are visited but not
+    expanded, matching Walk.Limits semantics (graph/Traverser.scala:96-99).
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = edges.select("src", "dst")
+    if max_degree is not None:
+        hubs = out_degrees(edges).filter(F.col("out_degree") > max_degree)
+        adj = adj.join(
+            hubs.withColumnRenamed("id", "src"), "src", "left_anti"
+        )
+    adj = adj.repartition(p, "src").persist()
+
+    frontier = _seed_df(spark, seeds).withColumn("depth", F.lit(0))
+    visited = materialize(frontier)
+    depth = 0
+    while max_depth is None or depth < max_depth:
+        nxt = (
+            frontier.join(adj, frontier.id == adj.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("depth", F.lit(depth + 1))
+        )
+        nxt = materialize(nxt)
+        if nxt.isEmpty():
+            break
+        visited = materialize(visited.union(nxt))
+        frontier = nxt
+        depth += 1
+    adj.unpersist()
+    return visited
+
+
+def multi_source_bfs(
+    edges: DataFrame, sources: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """All-sources-simultaneous BFS. ``sources`` is a ``(source)`` DataFrame;
+    returns ``(source, id, depth)`` — one frontier join per level total, not
+    per source."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = edges.select("src", "dst").repartition(p, "src").persist()
+
+    frontier = sources.select("source", F.col("source").alias("id")).withColumn(
+        "depth", F.lit(0)
+    )
+    visited = materialize(frontier.repartition(p, "id"))
+    depth = 0
+    while True:
+        nxt = (
+            frontier.join(adj, frontier.id == adj.src)
+            .select("source", F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("source", "id"), ["source", "id"], "left_anti")
+            .withColumn("depth", F.lit(depth + 1))
+        )
+        nxt = materialize(nxt.repartition(p, "id"))
+        if nxt.isEmpty():
+            break
+        visited = materialize(visited.union(nxt))
+        frontier = nxt
+        depth += 1
+    adj.unpersist()
+    return visited
+
+
+def all_paths_walk(
+    edges: DataFrame, seeds: list[int], max_depth: int, num_partitions: int | None = None
+) -> DataFrame:
+    """BFS-order walk with unlimited revisits (graph/Traverser.scala:463-478).
+
+    Returns ``(id, visits)`` — the number of distinct paths of length <=
+    max_depth from the seed set reaching each node (seed visit included).
+    Level frequencies: f_0 = 1 on seeds; f_{k+1}(v) = sum_{u->v} f_k(u).
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = edges.select("src", "dst").repartition(p, "src").persist()
+
+    level = _seed_df(spark, seeds).withColumn("cnt", F.lit(1).cast("long"))
+    total = materialize(level)
+    for _ in range(max_depth):
+        level = (
+            level.join(adj, level.id == adj.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        level = materialize(level)
+        if level.isEmpty():
+            break
+        total = materialize(total.union(level))
+    adj.unpersist()
+    return total.groupBy("id").agg(F.sum("cnt").alias("visits"))
+
+
+def _adjacency_lists(edges: DataFrame, p: int) -> DataFrame:
+    """Grouped adjacency ``(src, nbrs array<long>)`` — the per-vertex CSR row.
+    Sorted for determinism (NeighborsSortingStrategy analog,
+    graph/ArrayBasedDirectedGraph.scala:42-48)."""
+    return (
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .repartition(p, "src")
+    )
+
+
+def random_walk_visits(
+    edges: DataFrame,
+    start_nodes: list[int],
+    num_steps: int,
+    reset_prob: float = 0.0,
+    num_walkers: int = 100,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Monte-Carlo bounded random walk (graph/Traverser.scala:75-136 analog).
+
+    ``num_walkers`` walkers start uniformly over ``start_nodes`` and take
+    ``num_steps`` synchronized steps; at each step a walker resets to its home
+    node with probability ``reset_prob``, or moves to a uniformly random
+    out-neighbor (dangling nodes reset). Neighbor choice is JVM-side:
+    ``element_at(nbrs, 1 + floor(rand * size))`` over grouped adjacency —
+    no Python in the loop. Returns ``(id, visits)`` counting every position
+    including the start (total = num_walkers * (num_steps + 1)).
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = _adjacency_lists(edges, p).persist()
+
+    homes = [int(start_nodes[i % len(start_nodes)]) for i in range(num_walkers)]
+    walkers = spark.createDataFrame(
+        [(i, h, h) for i, h in enumerate(homes)], "walker long, home long, cur long"
+    ).repartition(p, "cur")
+
+    visit_frames = [walkers.select(F.col("cur").alias("id"))]
+    for step in range(num_steps):
+        stepped = (
+            walkers.join(adj, walkers.cur == adj.src, "left")
+            .withColumn("_r", F.rand(seed + step))
+            .select(
+                "walker",
+                "home",
+                F.when(
+                    (F.col("_r") < F.lit(reset_prob)) | F.col("nbrs").isNull(),
+                    F.col("home"),
+                )
+                .otherwise(
+                    F.element_at(
+                        "nbrs",
+                        (
+                            F.floor(
+                                F.rand(seed * 1000003 + step) * F.size("nbrs")
+                            ).cast("int")
+                            + 1
+                        ),
+                    )
+                )
+                .alias("cur"),
+            )
+            .repartition(p, "cur")
+        )
+        walkers = materialize(stepped)
+        visit_frames.append(walkers.select(F.col("cur").alias("id")))
+
+    out = visit_frames[0]
+    for f in visit_frames[1:]:
+        out = out.union(f)
+    result = out.groupBy("id").agg(F.count("*").alias("visits"))
+    result = materialize(result)
+    adj.unpersist()
+    return result
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    reset_prob: float = 0.15,
+    max_iterations: int = 30,
+    tolerance: float = 1e-8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact personalized PageRank by power iteration (the deterministic
+    counterpart of calculatePersonalizedReputation's Monte-Carlo estimate,
+    graph/GraphUtils.scala:142-154).
+
+    pr' = reset_prob * seed_indicator/|seeds|
+          + (1-reset_prob) * (gather + dangling mass redistributed to seeds).
+    Returns ``(id, score)`` summing to 1 over reachable vertices.
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    alpha = float(reset_prob)
+    d = 1.0 - alpha
+
+    outdeg = out_degrees(edges)
+    verts = (
+        vertices_of(edges)
+        .join(outdeg, "id", "left")
+        .select("id", F.col("out_degree").isNull().alias("is_dangling"))
+        .repartition(p, "id")
+        .persist()
+    )
+    seed_df = _seed_df(spark, seeds).withColumn(
+        "seed_mass", F.lit(1.0 / len(seeds))
+    )
+    verts_s = verts.join(seed_df, "id", "left").select(
+        "id", "is_dangling", F.coalesce("seed_mass", F.lit(0.0)).alias("seed_mass")
+    ).persist()
+
+    wedges = (
+        edges.join(outdeg.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.lit(d) / F.col("out_degree")).alias("w"))
+        .repartition(p, "src")
+        .persist()
+    )
+
+    ranks = materialize(
+        verts_s.select("id", F.col("seed_mass").alias("score"), "is_dangling", "seed_mass")
+    )
+    for _ in range(max_iterations):
+        dangle = (
+            ranks.filter(F.col("is_dangling")).agg(F.sum("score").alias("s")).first()["s"]
+            or 0.0
+        )
+        contribs = (
+            wedges.join(ranks.select(F.col("id").alias("src"), "score"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("score")).alias("gathered"))
+        )
+        new_ranks = (
+            verts_s.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.coalesce(F.col("gathered"), F.lit(0.0))
+                    + (F.lit(alpha) + F.lit(d) * F.lit(dangle)) * F.col("seed_mass")
+                ).alias("score"),
+                "is_dangling",
+                "seed_mass",
+            )
+            .repartition(p, "id")
+        )
+        new_ranks = materialize(new_ranks)
+        err = (
+            ranks.select("id", F.col("score").alias("prev"))
+            .join(new_ranks.select("id", "score"), "id")
+            .agg(F.sum(F.abs(F.col("prev") - F.col("score"))).alias("e"))
+            .first()["e"]
+        )
+        ranks = new_ranks
+        if err <= tolerance:
+            break
+
+    verts.unpersist()
+    verts_s.unpersist()
+    wedges.unpersist()
+    return ranks.select("id", "score")

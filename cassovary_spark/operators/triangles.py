@@ -1,0 +1,100 @@
+"""Exact triangle counting + global transitivity (clustering coefficient).
+
+The reference ships an APPROXIMATE streaming wedge-sampling estimator
+(algorithms/TriangleCount.scala:20-185, Jha et al. arXiv:1212.2264) that
+assumes an undirected (mutual) graph and returns
+``(transitivity, triangleEstimate)``. The north rule demands EXACT counts, so
+this is the exact distributed formulation with the same input convention and
+the same output pair; the sampling estimator's accuracy bands are used as
+test oracles (TriangleCountSpec.scala:48-88: K_n has n(n-1)(n-2)/6 triangles
+and transitivity 1.0; sparse ER ~0).
+
+Algorithm (classic two-join enumeration):
+- canonical undirected edges (a < b), deduped
+- orient each edge low-degree -> high-degree endpoint ("degree orientation"):
+  every wedge is then generated at its LOWEST-degree apex, which bounds the
+  per-key join fan-out by the graph's degeneracy instead of the max degree —
+  this is the standard mitigation for hub skew in triangle enumeration at
+  scale (a celebrity vertex with 10^7 neighbors would otherwise produce
+  10^14 wedges).
+- wedges (a-b, a-c) with b < c by orientation order, closed iff (b, c) is an
+  edge: count via semi-join-shaped inner join + count.
+
+Transitivity = 3 * triangles / wedges, wedges = sum_v d(v)(d(v)-1)/2 over
+undirected degrees (reference computeWedgesInEdgeReservoir,
+TriangleCount.scala:98-106, computed exactly here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassovary_spark.graph import canonicalize_undirected, mutualize
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Orient canonical undirected edges from lower (degree, id) to higher."""
+    canon = canonicalize_undirected(edges)
+    deg = (
+        mutualize(edges)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("deg"))
+    )
+    e = (
+        canon.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "dsrc"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddst"), "dst")
+    )
+    # (lo, hi) by (degree, id) total order — deterministic orientation
+    lo_first = (F.col("dsrc") < F.col("ddst")) | (
+        (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
+    )
+    return e.select(
+        F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+        F.when(lo_first, F.col("dsrc")).otherwise(F.col("ddst")).alias("dlo"),
+        F.when(lo_first, F.col("ddst")).otherwise(F.col("dsrc")).alias("dhi"),
+    )
+
+
+def triangle_count(edges: DataFrame) -> int:
+    """Exact number of triangles in the undirected view of ``edges``."""
+    o = _oriented(edges).persist()
+    # wedges at the low-degree apex: (a->b, a->c); order the two spokes by the
+    # same (degree, id) total order so each wedge is generated once.
+    e1 = o.select(F.col("lo").alias("a"), F.col("hi").alias("b"),
+                  F.col("dhi").alias("db"))
+    e2 = o.select(F.col("lo").alias("a"), F.col("hi").alias("c"),
+                  F.col("dhi").alias("dc"))
+    wedges = e1.join(e2, "a").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    n = wedges.join(closing, ["b", "c"]).count()
+    o.unpersist()
+    return n
+
+
+def wedge_count(edges: DataFrame) -> int:
+    """Exact number of wedges (paths of length 2) in the undirected view."""
+    row = (
+        mutualize(edges)
+        .groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+        .first()
+    )
+    return int(row["w"] or 0)
+
+
+def transitivity_stats(edges: DataFrame) -> dict:
+    """``{'triangles', 'wedges', 'transitivity'}`` — exact version of the
+    reference's (transitivity, triangleEstimate) pair (TriangleCount.scala:168-184)."""
+    t = triangle_count(edges)
+    w = wedge_count(edges)
+    return {
+        "triangles": t,
+        "wedges": w,
+        "transitivity": (3.0 * t / w) if w else 0.0,
+    }

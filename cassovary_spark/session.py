@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Reference analog: Cassovary's graph builders size their work by
+``Runtime.availableProcessors`` (util/io/GraphReader.scala:54); here the
+parallelism knobs are ``master`` and ``spark.sql.shuffle.partitions``.
+
+Designed so the same code runs on ``local[N]`` (tests / bench) and on a real
+multi-executor cluster via ``spark-submit --py-files`` (where ``master`` is
+supplied by the submit environment and we do NOT override it).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "cassovary_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` under an existing cluster master leaves ``master`` alone,
+    so ``spark-submit --master yarn ...`` works unchanged; locally it
+    defaults to ``local[$SPARK_GRAFT_CPUS]`` (fallback ``local[*]``).
+    """
+    builder = SparkSession.builder.appName(app_name)
+
+    if cores is not None:
+        builder = builder.master(f"local[{cores}]")
+    elif "SPARK_GRAFT_CPUS" in os.environ:
+        builder = builder.master(f"local[{os.environ['SPARK_GRAFT_CPUS']}]")
+    elif not os.environ.get("SPARK_MASTER") and not os.environ.get("MASTER"):
+        builder = builder.master("local[*]")
+
+    n_shuffle = shuffle_partitions or int(
+        os.environ.get("CASSOVARY_SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+
+    conf = {
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # skew-join splitting matters for hub vertices in link graphs
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("CASSOVARY_SPARK_DRIVER_MEM", "8g"),
+        # iterative algorithms truncate lineage via localCheckpoint
+        "spark.checkpoint.compress": "true",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

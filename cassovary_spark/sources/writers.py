@@ -1,0 +1,58 @@
+"""Graph sinks (reference: util/io/GraphWriter.scala:23-62,
+graph/distributed/GraphFilesSplitter.scala:28-99).
+
+Text formats exist for interchange with reference tooling; the scale-native
+sink is partitioned parquet (Iceberg in production) bucketed by src.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_edge_list(edges: DataFrame, path: str, sep: str = " ", sort_by_id: bool = False) -> None:
+    """Edge-per-line text sink."""
+    out = edges.select(
+        F.concat_ws(sep, F.col("src").cast("string"), F.col("dst").cast("string")).alias(
+            "value"
+        )
+    )
+    if sort_by_id:
+        out = edges.orderBy("src", "dst").select(
+            F.concat_ws(sep, F.col("src").cast("string"), F.col("dst").cast("string")).alias("value")
+        )
+    out.write.mode("overwrite").text(path)
+
+
+def write_adjacency_list(edges: DataFrame, path: str) -> None:
+    """Adjacency-list text sink: ``id count`` header + neighbor lines,
+    neighbors sorted (GraphWriter's sortByIds analog)."""
+    adj = (
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .orderBy("src")
+        .select(
+            F.concat_ws(
+                "\n",
+                F.concat_ws(" ", F.col("src").cast("string"), F.size("nbrs").cast("string")),
+                F.concat_ws("\n", F.transform("nbrs", lambda x: x.cast("string"))),
+            ).alias("value")
+        )
+    )
+    adj.write.mode("overwrite").text(path)
+
+
+def write_partitioned_edges(
+    edges: DataFrame, path: str, num_buckets: int = 32
+) -> None:
+    """Scale-native sink: parquet partitioned by ``pmod(hash(src), k)`` —
+    the HashSourceMapper layout (graph/distributed/Partitioner.scala:41-43);
+    under Iceberg this is the ``bucket(k, src)`` partition spec."""
+    (
+        edges.withColumn("bucket", F.pmod(F.hash("src"), F.lit(num_buckets)))
+        .repartition(num_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
