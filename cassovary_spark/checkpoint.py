@@ -116,5 +116,52 @@ def materialize(df: DataFrame) -> DataFrame:
 
     ``localCheckpoint(eager=True)`` persists partitions on executors and
     truncates the logical plan — the in-memory analog of CheckpointStore.save.
+
+    CAUTION (measured, see StateScratch): the resulting LogicalRDD INHERITS
+    the origin plan's Catalyst sizeInBytes statistic. Joins multiply child
+    sizes, so an iterative recurrence whose state feeds >= 2 branches of the
+    next superstep's join tree doubles the BigInt bit-length of that statistic
+    every iteration — optimizer time then grows exponentially (BigInteger
+    Toom-Cook multiplications inside SizeInBytesOnlyStatsPlanVisitor). Use
+    ``materialize`` only for recurrences where the state enters the next
+    superstep ONCE (linear stat growth); use ``StateScratch.roundtrip`` for
+    multiplicative ones (HITS, LPA, pointer-jumping CC, BFS visited sets).
     """
     return df.localCheckpoint(eager=True)
+
+
+class StateScratch:
+    """Ephemeral superstep state store: truncates lineage AND resets Catalyst
+    statistics via a parquet round-trip (file-based stats are ground truth).
+
+    This is the in-op analog of CheckpointStore (same storage pattern, no
+    metadata/resume surface) for operators that need per-superstep stat
+    resets. Files for iterations older than ``keep_last`` are deleted as the
+    run advances (the previous state must stay readable for convergence
+    deltas). Call ``close()`` after the final state has been re-materialized
+    with ``materialize`` (or returned to a terminal action).
+    """
+
+    def __init__(self, spark: SparkSession, keep_last: int = 3):
+        self.spark = spark
+        self.dir = tempfile.mkdtemp(prefix="cassovary_state_")
+        self.keep_last = keep_last
+        self._i = 0
+        self._paths: list[str] = []
+
+    def roundtrip(self, df: DataFrame) -> DataFrame:
+        path = os.path.join(self.dir, f"s{self._i:06d}")
+        self._i += 1
+        df.write.mode("overwrite").parquet(path)
+        self._paths.append(path)
+        while len(self._paths) > self.keep_last:
+            old = self._paths.pop(0)
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+        return self.spark.read.parquet(path)
+
+    def close(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.dir, ignore_errors=True)

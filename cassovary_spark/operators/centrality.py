@@ -30,10 +30,18 @@ from cassovary_spark.operators.traversals import multi_source_bfs
 
 
 def degree_centrality(
-    edges: DataFrame, direction: str = "in", normalize: bool = True
+    edges: DataFrame,
+    direction: str = "in",
+    normalize: bool = True,
+    vertices: DataFrame | None = None,
 ) -> DataFrame:
-    """``(id, centrality)`` over all vertices, zero-filled."""
-    verts = vertices_of(edges)
+    """``(id, centrality)`` over all vertices, zero-filled.
+
+    ``vertices`` (an ``(id)`` DataFrame) overrides the edge-derived vertex
+    set — the engine's representation of isolated nodes (reference fixture
+    g6WithEmptyNodes, graph/TestGraph.scala nodeSeqIteratorWithEmpty).
+    """
+    verts = vertices if vertices is not None else vertices_of(edges)
     key = "src" if direction == "out" else "dst"
     deg = edges.groupBy(F.col(key).alias("id")).agg(F.count("*").alias("deg"))
     n = verts.count()
@@ -52,10 +60,13 @@ def closeness_centrality(
     normalize: bool = True,
     sources: list[int] | None = None,
     num_partitions: int | None = None,
+    vertices: DataFrame | None = None,
 ) -> DataFrame:
-    """``(id, centrality)`` for each source vertex (all vertices by default)."""
+    """``(id, centrality)`` for each source vertex (all vertices by default).
+
+    ``vertices`` overrides the edge-derived vertex set (isolated nodes)."""
     spark = edges.sparkSession
-    verts = vertices_of(edges).persist()
+    verts = (vertices if vertices is not None else vertices_of(edges)).persist()
     n = verts.count()
 
     if sources is None:

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cassovary_spark.checkpoint import CheckpointStore, materialize
+from cassovary_spark.checkpoint import CheckpointStore, StateScratch, materialize
 from cassovary_spark.graph import mutualize, vertices_of
 
 
@@ -51,9 +51,13 @@ def connected_components(
         if got is not None:
             start_iter, labels, _meta = got
             labels = labels.repartition(p, "id")
+    # labels enter the superstep through the neighbor gather, the least()
+    # fallback, AND (with pointer_jump) a self-join — multiplicative stat
+    # growth — so per-superstep stats are reset via StateScratch.
+    scratch = StateScratch(spark)
     if labels is None:
         labels = verts.select("id", F.col("id").alias("component"))
-    labels = materialize(labels)
+    labels = scratch.roundtrip(labels)
 
     prev_sum = labels.agg(F.sum("component")).first()[0]
     iteration = start_iter
@@ -83,7 +87,7 @@ def connected_components(
                 new_labels.join(lut, "component", "left")
                 .select("id", F.coalesce("jump", "component").alias("component"))
             )
-        new_labels = materialize(new_labels.repartition(p, "id"))
+        new_labels = scratch.roundtrip(new_labels.repartition(p, "id"))
         iteration += 1
 
         cur_sum = new_labels.agg(F.sum("component")).first()[0]
@@ -96,6 +100,8 @@ def connected_components(
             break
         prev_sum = cur_sum
 
+    result = materialize(labels.select("id", "component"))
+    scratch.close()
     und.unpersist()
     verts.unpersist()
-    return labels.select("id", "component")
+    return result

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cassovary_spark.checkpoint import materialize
+from cassovary_spark.checkpoint import StateScratch, materialize
 from cassovary_spark.graph import vertices_of
 
 
@@ -55,7 +55,11 @@ def hits(
     by_src = edges.select("src", "dst").repartition(p, "src").persist()
     by_dst = edges.select("src", "dst").repartition(p, "dst").persist()
 
-    state = materialize(
+    # state feeds TWO branches of each superstep's join tree (auth gather +
+    # hub gather over the fresh auth), so per-superstep stats must be RESET,
+    # not just lineage-truncated — see checkpoint.StateScratch.
+    scratch = StateScratch(spark)
+    state = scratch.roundtrip(
         verts.select(
             "id", F.lit(1.0 / n).alias("hub"), F.lit(0.0).alias("authority")
         )
@@ -100,12 +104,13 @@ def hits(
         hmax = maxes["hmax"] if (maxes["hmax"] or 0) > 0 else 1.0
         amax = maxes["amax"] if (maxes["amax"] or 0) > 0 else 1.0
 
-        new_state = joined.select(
-            "id",
-            (F.col("h_raw") / F.lit(hmax)).alias("hub"),
-            (F.col("a_raw") / F.lit(amax)).alias("authority"),
+        new_state = scratch.roundtrip(
+            joined.select(
+                "id",
+                (F.col("h_raw") / F.lit(hmax)).alias("hub"),
+                (F.col("a_raw") / F.lit(amax)).alias("authority"),
+            )
         )
-        new_state = materialize(new_state)
 
         error = (
             state.select("id", F.col("hub").alias("prev_hub"))
@@ -127,7 +132,9 @@ def hits(
             (F.col("authority") / F.lit(as_)).alias("authority"),
         )
 
+    result = materialize(state.select("id", "hub", "authority"))
+    scratch.close()
     verts.unpersist()
     by_src.unpersist()
     by_dst.unpersist()
-    return HitsResult(state.select("id", "hub", "authority"), error, iteration, history)
+    return HitsResult(result, error, iteration, history)

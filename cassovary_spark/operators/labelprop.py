@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cassovary_spark.checkpoint import CheckpointStore, materialize
+from cassovary_spark.checkpoint import CheckpointStore, StateScratch, materialize
 from cassovary_spark.graph import mutualize, vertices_of
 
 
@@ -50,9 +50,13 @@ def label_propagation(
         if got is not None:
             start_iter, labels, _ = got
             labels = labels.repartition(p, "id")
+    # labels feed two branches per superstep (neighbor-mode gather + the
+    # keep-own-label fallback join) — stats must reset per superstep
+    # (checkpoint.StateScratch rationale).
+    scratch = StateScratch(spark)
     if labels is None:
         labels = verts.select("id", F.col("id").alias("label"))
-    labels = materialize(labels)
+    labels = scratch.roundtrip(labels)
 
     top1 = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
 
@@ -68,12 +72,11 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("id", F.col("label").alias("new_label"))
         )
-        new_labels = (
+        new_labels = scratch.roundtrip(
             labels.join(mode_label, "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
             .repartition(p, "id")
         )
-        new_labels = materialize(new_labels)
         iteration += 1
 
         changed = (
@@ -88,6 +91,8 @@ def label_propagation(
         if changed == 0:
             break
 
+    result = materialize(labels.select("id", "label"))
+    scratch.close()
     und.unpersist()
     verts.unpersist()
-    return labels.select("id", "label")
+    return result

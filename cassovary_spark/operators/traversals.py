@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cassovary_spark.checkpoint import materialize
+from cassovary_spark.checkpoint import StateScratch, materialize
 from cassovary_spark.graph import out_degrees, vertices_of
 
 
@@ -55,8 +55,12 @@ def bfs(
         )
     adj = adj.repartition(p, "src").persist()
 
+    # visited feeds both the anti-join and the union every level -> stats
+    # must reset per level (checkpoint.StateScratch rationale)
+    scratch = StateScratch(spark)
     frontier = _seed_df(spark, seeds).withColumn("depth", F.lit(0))
-    visited = materialize(frontier)
+    visited = scratch.roundtrip(frontier)
+    frontier = visited
     depth = 0
     while max_depth is None or depth < max_depth:
         nxt = (
@@ -69,11 +73,13 @@ def bfs(
         nxt = materialize(nxt)
         if nxt.isEmpty():
             break
-        visited = materialize(visited.union(nxt))
+        visited = scratch.roundtrip(visited.union(nxt))
         frontier = nxt
         depth += 1
+    result = materialize(visited)
+    scratch.close()
     adj.unpersist()
-    return visited
+    return result
 
 
 def multi_source_bfs(
@@ -86,10 +92,12 @@ def multi_source_bfs(
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     adj = edges.select("src", "dst").repartition(p, "src").persist()
 
+    scratch = StateScratch(spark)
     frontier = sources.select("source", F.col("source").alias("id")).withColumn(
         "depth", F.lit(0)
     )
-    visited = materialize(frontier.repartition(p, "id"))
+    visited = scratch.roundtrip(frontier.repartition(p, "id"))
+    frontier = visited
     depth = 0
     while True:
         nxt = (
@@ -102,11 +110,13 @@ def multi_source_bfs(
         nxt = materialize(nxt.repartition(p, "id"))
         if nxt.isEmpty():
             break
-        visited = materialize(visited.union(nxt))
+        visited = scratch.roundtrip(visited.union(nxt))
         frontier = nxt
         depth += 1
+    result = materialize(visited)
+    scratch.close()
     adj.unpersist()
-    return visited
+    return result
 
 
 def all_paths_walk(
