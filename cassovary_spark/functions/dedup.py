@@ -1,0 +1,232 @@
+"""Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB corpora:
+- exact dedup is a single hash-aggregate on a normalized fingerprint
+- near-dup never compares all pairs: MinHash-LSH bands bucket candidates so
+  the join is |bucket|^2 within buckets only; n-gram Jaccard joins on shared
+  shingles (pairs with zero shared shingles are never materialized)
+- hashes are md5-based, which both Spark and DuckDB implement identically —
+  the dedup pipeline is therefore fully SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(text_col: str) -> Column:
+    return F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per exact normalized-text group.
+    Returns ``(doc_id, dup_count)`` for the kept docs."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), _norm(text_col).alias("_n"))
+        .groupBy("_n")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_count"))
+        .select("doc_id", "dup_count")
+    )
+
+
+def char_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct character n-gram shingles per doc: ``(doc_id, shingle)``.
+
+    Built with sequence+transform (JVM-side, no Python). Docs shorter than n
+    contribute their whole text as one shingle."""
+    norm = _norm(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard >= threshold.
+
+    Returns ``(a, b, jaccard)`` with a < b. Candidate pairs come from the
+    shared-shingle join (same skeleton as the graph similarity operator,
+    operators/similarity.py — common-neighbor counting where "neighbors" are
+    shingles)."""
+    sh = char_shingles(docs, n, id_col, text_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("common") / (F.col("sa") + F.col("sb") - F.col("common"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures: ``(doc_id, sig: array<string>)``.
+
+    hash_i(shingle) = md5(i || ':' || shingle); the signature element i is the
+    MIN of that keyed hash over the doc's shingles. md5-based so DuckDB
+    reproduces it bit-for-bit (portable oracle), at the cost of ~2x the speed
+    of xxhash64 — switchable later without changing the LSH layer."""
+    sh = char_shingles(docs, shingle_n, id_col, text_col)
+    sigs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*sigs)
+    return agg.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_buckets(
+    signatures: DataFrame, bands: int = 4
+) -> DataFrame:
+    """Band the signature into LSH buckets: ``(doc_id, band, bucket)``.
+    Docs sharing any (band, bucket) are near-dup candidates."""
+    n = bands  # rows per band inferred from sig length at runtime
+    return signatures.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.slice(
+                                F.col("sig"),
+                                b * (F.size("sig") / bands).cast("int") + 1,
+                                (F.size("sig") / bands).cast("int"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end MinHash-LSH: candidate near-dup pairs ``(a, b)`` (a < b)
+    sharing at least one LSH bucket. Verify candidates with
+    ngram_jaccard_pairs on the candidate set when exact scores are needed."""
+    sig = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col)
+    bk = minhash_lsh_buckets(sig, bands)
+    a = bk.select(F.col("doc_id").alias("a"), "band", "bucket")
+    b = bk.select(F.col("doc_id").alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash over whitespace tokens: ``(doc_id, simhash: long)``.
+
+    Per token, a 64-bit hash votes +1/-1 on each bit position weighted by
+    term frequency; the sign vector packs into one long. JVM-side only:
+    explode tokens -> xxhash64 -> per-bit aggregate via bitwise ops."""
+    toks = F.filter(F.split(_norm(text_col), " "), lambda t: t != "")
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("t"))
+    h = tok.select("doc_id", F.xxhash64("t").alias("h"))
+    bit_votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_votes)
+    packed = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63))).otherwise(0)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidates are generated by banding the 64-bit simhash into 4 x 16-bit
+    chunks (pigeonhole: any pair within Hamming distance 3 shares at least
+    one exact chunk), then verified with bit_count — never all-pairs."""
+    sh = simhash(docs, 64, id_col, text_col).persist()
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    a = chunks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "chunk", "val")
+    b = chunks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "chunk", "val")
+    cand = (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

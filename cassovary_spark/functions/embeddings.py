@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline; the dot product is a JVM-side
+  ``aggregate(zip_with(...))`` — no Python, no UDF.
+- LSH-bucketed ANN: random-hyperplane signatures (deterministic seeded
+  hyperplanes) bucket vectors; candidates only join within buckets — the
+  scale path for 10^10-vector tables.
+- embedding_near_dups: cosine >= threshold pairs via the same kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_top_k(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors: ``(q, v, score, rn)``.
+
+    ``queries`` defaults to the full table (all-pairs top-k). At scale pass a
+    small query set — Catalyst broadcasts it and the scan stays one pass."""
+    base = embeddings.select(
+        F.col(id_col).alias("v"), F.col(vec_col).alias("v_emb")
+    ).withColumn("v_norm", _norm2(F.col("v_emb")))
+    q = (queries if queries is not None else embeddings).select(
+        F.col(id_col).alias("q"), F.col(vec_col).alias("q_emb")
+    ).withColumn("q_norm", _norm2(F.col("q_emb")))
+
+    scored = (
+        F.broadcast(q).crossJoin(base)
+        .filter(F.col("q") != F.col("v"))
+        .select(
+            "q",
+            "v",
+            (
+                _dot(F.col("q_emb"), F.col("v_emb"))
+                / (F.col("q_norm") * F.col("v_norm"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("score"), F.asc("v"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q", "v", "score", "rn")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (splitmix64-ish hash to
+    uniform [-1, 1]); pure Python constants baked into the plan."""
+    planes = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = state
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z = z ^ (z >> 31)
+            row.append((z / 2**63) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(
+    vec_col: Column, dim: int, num_planes: int = 16, seed: int = 42
+) -> Column:
+    """Random-hyperplane signature as a packed int (bit i = sign of the dot
+    product with hyperplane i)."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = _dot(vec_col, F.array(*[F.lit(x) for x in plane]))
+        sig = sig.bitwiseOR(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return sig
+
+
+def lsh_bucketed_ann(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via multi-table hyperplane LSH
+    (standard OR-construction: L independent b-bit signature tables;
+    candidates share a bucket in ANY table), then exact cosine within
+    candidates. Returns ``(q, v, score, rn)`` like cosine_top_k.
+
+    Recall tuning: P(candidate) = 1-(1-(1-theta/pi)^b)^L — raise L for
+    recall, raise b for precision/bucket size. Defaults suit near-dup /
+    same-cluster search; exact brute force (cosine_top_k) is the baseline."""
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_signature(
+                    F.col(vec_col), dim, planes_per_table, seed + 7919 * t
+                ).alias("bucket"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("v"),
+            F.col(vec_col).alias("v_emb"),
+            F.explode(sigs).alias("tb"),
+        )
+        .select(
+            "v",
+            "v_emb",
+            F.col("tb.table").alias("table"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+        .withColumn("v_norm", _norm2(F.col("v_emb")))
+        .persist()
+    )
+    q = base.select(
+        F.col("v").alias("q"),
+        F.col("v_emb").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
+        "table",
+        "bucket",
+    )
+    scored = (
+        q.join(base, ["table", "bucket"])
+        .filter(F.col("q") != F.col("v"))
+        .select("q", "v", "q_emb", "v_emb", "q_norm", "v_norm")
+        .dropDuplicates(["q", "v"])
+        .select(
+            "q",
+            "v",
+            (
+                _dot(F.col("q_emb"), F.col("v_emb"))
+                / (F.col("q_norm") * F.col("v_norm"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("score"), F.asc("v"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q", "v", "score", "rn")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold: ``(a, b, score)``, a < b.
+    Exact (all-pairs) — use lsh_bucketed_ann's bucketing first at scale."""
+    x = embeddings.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("a_emb")
+    ).withColumn("a_norm", _norm2(F.col("a_emb")))
+    y = embeddings.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("b_emb")
+    ).withColumn("b_norm", _norm2(F.col("b_emb")))
+    return (
+        x.crossJoin(y)
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                _dot(F.col("a_emb"), F.col("b_emb"))
+                / (F.col("a_norm") * F.col("b_norm"))
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

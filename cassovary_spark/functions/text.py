@@ -1,0 +1,121 @@
+"""Text analysis for large-scale corpus pipelines.
+
+All pure Catalyst expressions (whole-stage-codegen'd, no Python in the hot
+path) so they run at parquet-scan speed over 100 TB document tables. Each has
+an ANSI-SQL twin in __spark_entry__.oracle_sql for DuckDB verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny multilingual stopword lists for the n-gram/stopword language heuristic
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "des", "est", "pas", "que", "une", "dans"],
+    "es": ["el", "la", "los", "que", "de", "en", "es", "por", "con", "una"],
+}
+
+
+def _tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty strings removed."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column, mode: str = "whitespace") -> Column:
+    """Token counting: 'whitespace' or 'bpe' (a BPE-ish regex that splits
+    punctuation and digit runs from word pieces, approximating subword
+    pre-tokenization)."""
+    if mode == "whitespace":
+        return F.size(_tokens(col))
+    if mode == "bpe":
+        # split into word / digit / punctuation runs, GPT-style pre-tokenizer
+        pieces = F.filter(
+            F.split(col, r"(?=[^A-Za-z0-9\s])|(?<=[^A-Za-z0-9\s])|\s+"),
+            lambda t: t != "",
+        )
+        return F.size(pieces)
+    raise ValueError(f"unknown token mode {mode!r}")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: chars, tokens, avg token length, punctuation and
+    digit ratios, uppercase ratio."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = _tokens(c)
+    return docs.select(
+        "*",
+        n_chars.alias("stat_chars"),
+        F.size(toks).alias("stat_tokens"),
+        (
+            F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
+            / F.greatest(n_chars, F.lit(1))
+        ).alias("stat_punct_ratio"),
+        (
+            F.length(F.regexp_replace(c, r"[^0-9]", ""))
+            / F.greatest(n_chars, F.lit(1))
+        ).alias("stat_digit_ratio"),
+        (
+            F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+            / F.greatest(n_chars, F.lit(1))
+        ).alias("stat_upper_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0, 1]: length band, punctuation
+    moderation, stopword presence, mean word length band — the standard
+    pretraining-filter features (Gopher/C4-style rules, public recipes)."""
+    c = F.col(text_col)
+    toks = _tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    mean_word_len = n_chars / F.greatest(n_tok, F.lit(1))
+    punct_ratio = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")) / n_chars
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS["en"]))
+    )
+    stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1))
+
+    len_score = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    word_len_score = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.0)
+    punct_score = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
+    stop_score = F.least(stop_ratio * 4, F.lit(1.0))
+    return docs.select(
+        "*",
+        ((len_score + word_len_score + punct_score + stop_score) / 4).alias(
+            "quality"
+        ),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language heuristic: the language whose stopword list
+    hits the most tokens wins; 'und' (undetermined) when no hits. Ties break
+    by language code order (deterministic)."""
+    c = F.col(text_col)
+    toks = F.transform(_tokens(c), lambda t: F.lower(t))
+    scores = []
+    for lang in sorted(_STOPWORDS):
+        hits = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS[lang])))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return docs.select(
+        "*",
+        F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("lang_id"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic 64-bit content fingerprint (xxhash64 of normalized text)
+    + a 128-bit md5 hex — the exact-dup key. Normalization: lowercase,
+    collapse whitespace."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return docs.select(
+        "*",
+        F.xxhash64(norm).alias("fp64"),
+        F.md5(norm).alias("fp_md5"),
+    )
