@@ -31,12 +31,11 @@ def token_count(col: Column, mode: str = "whitespace") -> Column:
     if mode == "whitespace":
         return F.size(_tokens(col))
     if mode == "bpe":
-        # split into word / digit / punctuation runs, GPT-style pre-tokenizer
-        pieces = F.filter(
-            F.split(col, r"(?=[^A-Za-z0-9\s])|(?<=[^A-Za-z0-9\s])|\s+"),
-            lambda t: t != "",
+        # GPT-style pre-tokenizer pieces: maximal alnum runs + single
+        # punctuation marks (lookaround-free regex — DuckDB RE2 mirrors it)
+        return F.size(
+            F.regexp_extract_all(col, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
         )
-        return F.size(pieces)
     raise ValueError(f"unknown token mode {mode!r}")
 
 
