@@ -1,0 +1,182 @@
+"""Benchmark harness (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Reference methodology analog: avg wall time per workload
+(cassovary-benchmarks/.../OperationBenchmark.scala:24-30), with PageRank /
+PPR / HITS / centrality / traversal workloads (PerformanceBenchmark.scala).
+
+Extra keys beyond the contract: edges-per-second throughput for the
+convergence PageRank runs (the BASELINE.json north metric) and graph sizes.
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+scripts/scaling_run.py, which reuses these workloads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def build_workloads(spark, sf_dir: str, sf: float):
+    """Returns list of (name, thunk) where each thunk runs one headline query
+    to completion (an action) and returns aux metrics."""
+    from __spark_entry__ import _cs_edges
+    from cassovary_spark.functions import (
+        cosine_top_k,
+        exact_dedup,
+        minhash_lsh_candidates,
+        quality_score,
+    )
+    from cassovary_spark.operators import (
+        bfs,
+        connected_components,
+        hits,
+        label_propagation,
+        pagerank,
+        personalized_pagerank,
+        triangle_count,
+    )
+    from cassovary_spark.sources import (
+        random_undirected_graph,
+        synth_transcripts,
+        tool_cooccurrence_edges,
+        turn_edges,
+    )
+
+    # transcript corpus scaled by sf: sf0.1 -> 20k conversations (~330k turns)
+    n_convs = max(200, int(sf * 200_000))
+    transcripts = synth_transcripts(spark, n_convs=n_convs, seed=42).persist()
+    transcripts.count()
+    tedges = turn_edges(transcripts).persist()
+    m_turn = tedges.count()
+    cs = _cs_edges(spark, sf_dir).persist()
+    m_cs = cs.count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+    er = random_undirected_graph(spark, 1500, 0.01, seed=42).persist()
+    m_er = er.count()
+
+    aux: dict[str, dict] = {}
+
+    def w_pagerank_turns():
+        res = pagerank(tedges, max_iterations=None, tolerance=1e-6)
+        aux["pagerank_turns_1e6"] = {
+            "iterations": res.iterations,
+            "edges": m_turn,
+            "error": res.error,
+        }
+        res.ranks.count()
+
+    def w_pagerank_cs():
+        res = pagerank(cs, max_iterations=None, tolerance=1e-6)
+        aux["pagerank_cs_1e6"] = {
+            "iterations": res.iterations,
+            "edges": m_cs,
+            "error": res.error,
+        }
+        res.ranks.count()
+
+    def w_cc_turns():
+        cc = connected_components(tedges)
+        aux["cc_turns"] = {"components": cc.select("component").distinct().count()}
+
+    def w_lpa_turns():
+        label_propagation(tedges, max_iterations=5).count()
+
+    def w_hits_cs():
+        res = hits(cs, max_iterations=10)
+        res.scores.count()
+
+    def w_triangles_er():
+        aux["triangles_er"] = {"triangles": triangle_count(er), "edges": m_er}
+
+    def w_tool_graph():
+        co, _ = tool_cooccurrence_edges(transcripts)
+        aux["tool_cooccur"] = {"triangles": triangle_count(co)}
+
+    def w_bfs_turns():
+        bfs(tedges, [0], max_depth=None).count()
+
+    def w_ppr_turns():
+        personalized_pagerank(tedges, [0], max_iterations=15).count()
+
+    def w_dedup_docs():
+        exact_dedup(docs).count()
+        minhash_lsh_candidates(docs, num_hashes=16, bands=4).count()
+
+    def w_quality_docs():
+        quality_score(docs).agg(F.avg("quality")).collect()
+
+    def w_embeddings():
+        q = emb.limit(50)
+        cosine_top_k(emb, q, k=10).count()
+
+    return [
+        ("pagerank_turns_1e6", w_pagerank_turns),
+        ("pagerank_cs_1e6", w_pagerank_cs),
+        ("cc_turns", w_cc_turns),
+        ("lpa_turns_5", w_lpa_turns),
+        ("hits_cs_10", w_hits_cs),
+        ("triangles_er", w_triangles_er),
+        ("tool_cooccur_triangles", w_tool_graph),
+        ("bfs_turns", w_bfs_turns),
+        ("ppr_turns_15", w_ppr_turns),
+        ("dedup_docs", w_dedup_docs),
+        ("quality_docs", w_quality_docs),
+        ("embeddings_top10", w_embeddings),
+    ], aux
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from cassovary_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="cassovary_spark_bench",
+        cores=cpus,
+        shuffle_partitions=cpus,
+    )
+
+    workloads, aux = build_workloads(spark, sf_dir, sf)
+    times: dict[str, float] = {}
+    for name, thunk in workloads:
+        t0 = time.time()
+        thunk()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    # north metric: edges/sec for PageRank to 1e-6 (edges x supersteps / sec)
+    eps = {}
+    for key in ("pagerank_turns_1e6", "pagerank_cs_1e6"):
+        a = aux.get(key)
+        if a and times.get(key):
+            eps[key] = int(a["edges"] * a["iterations"] / times[key])
+    out = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "pagerank_edges_per_sec": eps,
+        "aux": aux,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

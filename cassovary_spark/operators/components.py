@@ -41,8 +41,11 @@ def connected_components(
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    und = mutualize(edges).repartition(p, "src").persist()
-    verts = vertices_of(edges).repartition(p, "id").persist()
+    # the superstep join keys on dst (gather neighbor labels), so the static
+    # edge table is partitioned AND sorted by dst — SMJ then never exchanges
+    # or sorts the big side
+    und = mutualize(edges).repartition(p, "dst").sortWithinPartitions("dst").persist()
+    verts = vertices_of(edges).repartition(p, "id").sortWithinPartitions("id").persist()
 
     labels = None
     start_iter = 0
@@ -64,7 +67,8 @@ def connected_components(
     while max_iterations is None or iteration < max_iterations:
         # gather: min neighbor label
         nbr_min = (
-            und.join(labels.select(F.col("id").alias("dst"), "component"), "dst")
+            und.hint("merge")
+            .join(labels.select(F.col("id").alias("dst"), "component"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )

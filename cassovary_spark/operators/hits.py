@@ -45,15 +45,15 @@ def hits(
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    verts = vertices_of(edges).repartition(p, "id").persist()
+    verts = vertices_of(edges).repartition(p, "id").sortWithinPartitions("id").persist()
     n = verts.count()
     if n == 0:
         empty = spark.createDataFrame([], "id long, hub double, authority double")
         return HitsResult(empty, 0.0, 0)
 
     # dual orientation: gather-for-auth joins on src, gather-for-hub on dst
-    by_src = edges.select("src", "dst").repartition(p, "src").persist()
-    by_dst = edges.select("src", "dst").repartition(p, "dst").persist()
+    by_src = edges.select("src", "dst").repartition(p, "src").sortWithinPartitions("src").persist()
+    by_dst = edges.select("src", "dst").repartition(p, "dst").sortWithinPartitions("dst").persist()
 
     # state feeds TWO branches of each superstep's join tree (auth gather +
     # hub gather over the fresh auth), so per-superstep stats must be RESET,
@@ -75,7 +75,7 @@ def hits(
 
     while not terminated(iteration, error):
         auth_raw = (
-            by_src.join(state.select(F.col("id").alias("src"), "hub"), "src")
+            by_src.hint("merge").join(state.select(F.col("id").alias("src"), "hub"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("a_raw"))
         )
@@ -87,7 +87,7 @@ def hits(
         auth_full = materialize(auth_full)
 
         hub_raw = (
-            by_dst.join(auth_full.select(F.col("id").alias("dst"), "a_raw"), "dst")
+            by_dst.hint("merge").join(auth_full.select(F.col("id").alias("dst"), "a_raw"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("a_raw").alias("h_raw"))
         )

@@ -40,8 +40,10 @@ def label_propagation(
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    und = mutualize(edges).repartition(p, "src").persist()
-    verts = vertices_of(edges).repartition(p, "id").persist()
+    # join keys on dst each superstep -> partition+sort the static edge table
+    # by dst (see components.py rationale)
+    und = mutualize(edges).repartition(p, "dst").sortWithinPartitions("dst").persist()
+    verts = vertices_of(edges).repartition(p, "id").sortWithinPartitions("id").persist()
 
     labels = None
     start_iter = 0
@@ -63,7 +65,8 @@ def label_propagation(
     iteration = start_iter
     while iteration < max_iterations:
         nbr_label_counts = (
-            und.join(labels.select(F.col("id").alias("dst"), "label"), "dst")
+            und.hint("merge")
+            .join(labels.select(F.col("id").alias("dst"), "label"), "dst")
             .groupBy(F.col("src").alias("id"), "label")
             .agg(F.count("*").alias("cnt"))
         )

@@ -76,12 +76,16 @@ def pagerank(
     edges = edges.select("src", "dst")
     outdeg = out_degrees(edges)
 
-    # vertex table with dangling flag, stationary across supersteps
+    # vertex table with dangling flag, stationary across supersteps.
+    # Partitioned AND sorted within partitions: the cached scan reports both
+    # hash-partitioning and ordering, so the per-superstep sort-merge joins
+    # skip exchange + sort on this (static) side entirely.
     verts = (
         vertices_of(edges)
         .join(outdeg, "id", "left")
         .select("id", F.col("out_degree").isNull().alias("is_dangling"))
         .repartition(p, "id")
+        .sortWithinPartitions("id")
         .persist()
     )
     n = verts.count()
@@ -89,13 +93,14 @@ def pagerank(
         empty = spark.createDataFrame([], "id long, pagerank double")
         return PageRankResult(empty, 0.0, 0, 0, 0)
 
-    # static weighted edge table: w = d / outdeg(src); partitioned by src and
-    # persisted so supersteps re-use the shuffle output instead of re-shuffling
-    # the (huge) edge table every iteration.
+    # static weighted edge table: w = d / outdeg(src); partitioned by src,
+    # sorted by src, persisted — supersteps re-use the shuffle output AND the
+    # sort order instead of re-shuffling/re-sorting the (huge) edge table.
     wedges = (
         edges.join(outdeg.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.lit(damping) / F.col("out_degree")).alias("w"))
         .repartition(p, "src")
+        .sortWithinPartitions("src")
         .persist()
     )
     m = wedges.count()
@@ -124,24 +129,30 @@ def pagerank(
             return True
         return err <= tolerance
 
+    # dangling mass of the CURRENT ranks (reference recomputes per iteration,
+    # :92-93); after the first superstep it's folded into the error job below
+    # so each superstep costs exactly 2 jobs: materialize + one combined agg.
+    dangle_mass = (
+        ranks.filter(F.col("is_dangling")).agg(F.sum("pagerank").alias("s")).first()["s"]
+        or 0.0
+    )
+
     iteration = start_iter
     while not terminated(iteration, error):
-        # scalar dangling mass (reference computes it per-iteration, :92-93)
-        dangle_row = ranks.filter(F.col("is_dangling")).agg(
-            F.sum("pagerank").alias("s")
-        ).first()
-        dangle_mass = dangle_row["s"] or 0.0
         dangle_sum = damping * dangle_mass / n
 
+        # MERGE hints pin sort-merge joins: never broadcast the O(V) rank
+        # table (a per-superstep driver roundtrip, fatal at scale), and the
+        # pre-sorted cached sides make SMJ sort only the small fresh side.
         contribs = (
-            wedges.join(
-                ranks.select(F.col("id").alias("src"), "pagerank"), "src"
-            )
+            wedges.hint("merge")
+            .join(ranks.select(F.col("id").alias("src"), "pagerank"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("w") * F.col("pagerank")).alias("gathered"))
         )
         new_ranks = (
-            verts.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            verts.hint("merge")
+            .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
             .select(
                 "id",
                 (
@@ -155,12 +166,18 @@ def pagerank(
         )
         new_ranks = materialize(new_ranks)
 
-        error = (
+        # one combined scalar job: T1 error vs previous + next dangling mass
+        stats = (
             ranks.select("id", F.col("pagerank").alias("prev"))
-            .join(new_ranks.select("id", "pagerank"), "id")
-            .agg(F.sum(F.abs(F.col("prev") - F.col("pagerank"))).alias("e"))
-            .first()["e"]
+            .join(new_ranks, "id")
+            .agg(
+                F.sum(F.abs(F.col("prev") - F.col("pagerank"))).alias("e"),
+                F.sum(F.when(F.col("is_dangling"), F.col("pagerank"))).alias("d"),
+            )
+            .first()
         )
+        error = stats["e"]
+        dangle_mass = stats["d"] or 0.0
         iteration += 1
         row = {
             "iteration": iteration,

@@ -53,7 +53,7 @@ def bfs(
         adj = adj.join(
             hubs.withColumnRenamed("id", "src"), "src", "left_anti"
         )
-    adj = adj.repartition(p, "src").persist()
+    adj = adj.repartition(p, "src").sortWithinPartitions("src").persist()
 
     # visited feeds both the anti-join and the union every level -> stats
     # must reset per level (checkpoint.StateScratch rationale)
@@ -90,7 +90,7 @@ def multi_source_bfs(
     per source."""
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    adj = edges.select("src", "dst").repartition(p, "src").persist()
+    adj = edges.select("src", "dst").repartition(p, "src").sortWithinPartitions("src").persist()
 
     scratch = StateScratch(spark)
     frontier = sources.select("source", F.col("source").alias("id")).withColumn(
@@ -130,7 +130,7 @@ def all_paths_walk(
     """
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    adj = edges.select("src", "dst").repartition(p, "src").persist()
+    adj = edges.select("src", "dst").repartition(p, "src").sortWithinPartitions("src").persist()
 
     level = _seed_df(spark, seeds).withColumn("cnt", F.lit(1).cast("long"))
     total = materialize(level)
@@ -253,6 +253,7 @@ def personalized_pagerank(
         .join(outdeg, "id", "left")
         .select("id", F.col("out_degree").isNull().alias("is_dangling"))
         .repartition(p, "id")
+        .sortWithinPartitions("id")
         .persist()
     )
     seed_df = _seed_df(spark, seeds).withColumn(
@@ -266,6 +267,7 @@ def personalized_pagerank(
         edges.join(outdeg.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.lit(d) / F.col("out_degree")).alias("w"))
         .repartition(p, "src")
+        .sortWithinPartitions("src")
         .persist()
     )
 
@@ -278,7 +280,7 @@ def personalized_pagerank(
             or 0.0
         )
         contribs = (
-            wedges.join(ranks.select(F.col("id").alias("src"), "score"), "src")
+            wedges.hint("merge").join(ranks.select(F.col("id").alias("src"), "score"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("w") * F.col("score")).alias("gathered"))
         )

@@ -52,7 +52,10 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.ui.enabled": "false",
-        "spark.driver.memory": os.environ.get("CASSOVARY_SPARK_DRIVER_MEM", "8g"),
+        # local mode: the driver heap IS the cluster memory; size generously
+        # (the sandbox has 128 GiB; a too-small heap makes 32-thread runs
+        # GC-bound and destroys scaling)
+        "spark.driver.memory": os.environ.get("CASSOVARY_SPARK_DRIVER_MEM", "48g"),
         # iterative algorithms truncate lineage via localCheckpoint
         "spark.checkpoint.compress": "true",
     }
