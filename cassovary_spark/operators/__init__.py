@@ -13,6 +13,7 @@ from cassovary_spark.operators.similarity import (
     cosine_similarity_top_k,
 )
 from cassovary_spark.operators.mutual import mutual_edge_count
+from cassovary_spark.operators.bipartite import bipartite_link_analysis, BipartiteAnalysis
 from cassovary_spark.operators.traversals import (
     bfs,
     multi_source_bfs,
@@ -35,6 +36,8 @@ __all__ = [
     "jaccard_similarity_top_k",
     "cosine_similarity_top_k",
     "mutual_edge_count",
+    "bipartite_link_analysis",
+    "BipartiteAnalysis",
     "bfs",
     "multi_source_bfs",
     "all_paths_walk",

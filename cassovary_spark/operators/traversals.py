@@ -271,7 +271,8 @@ def personalized_pagerank(
         .persist()
     )
 
-    ranks = materialize(
+    scratch = StateScratch(spark)
+    ranks = scratch.roundtrip(
         verts_s.select("id", F.col("seed_mass").alias("score"), "is_dangling", "seed_mass")
     )
     for _ in range(max_iterations):
@@ -297,7 +298,7 @@ def personalized_pagerank(
             )
             .repartition(p, "id")
         )
-        new_ranks = materialize(new_ranks)
+        new_ranks = scratch.roundtrip(new_ranks)
         err = (
             ranks.select("id", F.col("score").alias("prev"))
             .join(new_ranks.select("id", "score"), "id")

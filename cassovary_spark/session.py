@@ -58,6 +58,10 @@ def get_spark(
         "spark.driver.memory": os.environ.get("CASSOVARY_SPARK_DRIVER_MEM", "48g"),
         # iterative algorithms truncate lineage via localCheckpoint
         "spark.checkpoint.compress": "true",
+        # bucketed superstep-state tables (checkpoint.StateScratch) live here
+        "spark.sql.warehouse.dir": os.environ.get(
+            "CASSOVARY_SPARK_WAREHOUSE", "/tmp/cassovary_spark_warehouse"
+        ),
     }
     if extra_conf:
         conf.update(extra_conf)
