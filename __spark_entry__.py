@@ -411,6 +411,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "n_bytes"
         )
 
+    def q_ev_closeness(spark, sf):
+        from cassovary_spark.operators import closeness_centrality
+
+        return closeness_centrality(_ev_edges(spark, sf), normalize=True).select(
+            "id", F.round("centrality", 6).alias("closeness")
+        )
+
+    def q_cs_bipartite(spark, sf):
+        from cassovary_spark.operators import bipartite_link_analysis
+
+        e = _cs_edges(spark, sf)
+        lw = (
+            e.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("weight", F.lit(1.0))
+        )
+        res = bipartite_link_analysis(
+            e, lw, num_iterations=2, reset_prob_left=0.3,
+            reset_prob_right=0.1, num_top_contributors=2,
+        )
+        def fmt(df, side):
+            return df.select(
+                F.lit(side).alias("side"),
+                "id",
+                F.round("weight", 6).alias("weight"),
+                F.concat_ws(",", F.col("contributors").cast("array<string>")).alias(
+                    "contribs"
+                ),
+            )
+        return fmt(res.left, "L").unionAll(fmt(res.right, "R"))
+
+    def q_ev_all_paths(spark, sf):
+        from cassovary_spark.operators import all_paths_walk
+
+        return all_paths_walk(_ev_edges(spark, sf), [0], max_depth=4)
+
+    def q_ev_multi_bfs(spark, sf):
+        from cassovary_spark.operators import multi_source_bfs
+
+        srcs = spark.createDataFrame([(0,), (1,), (2,)], "source long")
+        return multi_source_bfs(_ev_edges(spark, sf), srcs)
+
+    def q_ev_dfs(spark, sf):  # rows-only (DFS is not SQL-expressible)
+        from cassovary_spark.operators import dfs_times
+
+        return dfs_times(_ev_edges(spark, sf), [0])
+
+    def q_ev_walk_visits(spark, sf):  # rows-only (Spark-partition-seeded RNG)
+        from cassovary_spark.operators import random_walk_visits
+
+        return random_walk_visits(
+            _ev_edges(spark, sf), [0], num_steps=5, reset_prob=0.2,
+            num_walkers=50, seed=7,
+        )
+
+    def q_ev_walk_prev_nbrs(spark, sf):  # rows-only
+        from cassovary_spark.operators import prev_nbr_counter, random_walk_events
+
+        ev = random_walk_events(
+            _ev_edges(spark, sf), [0], num_steps=5, reset_prob=0.2,
+            num_walkers=50, seed=7,
+        )
+        return prev_nbr_counter(ev, k=3).select(
+            "id",
+            F.concat_ws(",", F.col("prev_nbrs").cast("array<string>")).alias("prev_nbrs"),
+        )
+
+    def q_tr_turn_text(spark, sf):  # rows-only (xxhash64 synthesis not in DuckDB)
+        # the input_hint invariant: per-turn text equality under stable
+        # (conv_id, turn_idx) ordering, preserved through the engine's
+        # vertex-id mapping and back
+        from cassovary_spark.sources import synth_transcripts
+        from cassovary_spark.sources.transcripts import turn_vertex_ids
+
+        t = synth_transcripts(spark, n_convs=100, seed=42)
+        vids = turn_vertex_ids(t)
+        return (
+            t.join(vids, ["conv_id", "turn_idx"])
+            .select("conv_id", "turn_idx", "vid", "text")
+            .orderBy("conv_id", "turn_idx")
+        )
+
+    def q_tr_pagerank(spark, sf):  # rows-only
+        from cassovary_spark.sources import synth_transcripts, turn_edges
+
+        t = synth_transcripts(spark, n_convs=100, seed=42)
+        res = pagerank(turn_edges(t), max_iterations=PR_ITERS)
+        return res.ranks.select("id", F.round("pagerank", 6).alias("pagerank"))
+
     return {
         "cs_edges": q_cs_edges,
         "ev_edges": q_ev_edges,
@@ -440,6 +529,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups": q_emb_near_dups,
         "emb_lsh_ann": q_emb_lsh_ann,
         "multimodal_features": q_multimodal,
+        "ev_closeness": q_ev_closeness,
+        "cs_bipartite2": q_cs_bipartite,
+        "ev_all_paths4": q_ev_all_paths,
+        "ev_multi_bfs": q_ev_multi_bfs,
+        "ev_dfs": q_ev_dfs,
+        "ev_walk_visits": q_ev_walk_visits,
+        "ev_walk_prev_nbrs": q_ev_walk_prev_nbrs,
+        "tr_turn_text": q_tr_turn_text,
+        "tr_pagerank5": q_tr_pagerank,
     }
 
 
@@ -606,4 +704,60 @@ FROM b x, b y
 WHERE x.vec_id < y.vec_id
   AND list_dot_product(x.e, y.e)
     / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) >= 0.3""",
+        "ev_closeness": f"""
+WITH RECURSIVE edges AS ({EV_EDGES_SQL}),
+verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+walk(source, id, depth) AS (
+  SELECT id, id, 0 FROM verts
+  UNION
+  SELECT w.source, e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.id WHERE w.depth < 64
+),
+d AS (SELECT source, id, MIN(depth) AS depth FROM walk GROUP BY source, id),
+s AS (SELECT source, SUM(depth) AS ds, COUNT(*) AS reach FROM d GROUP BY source),
+n AS (SELECT COUNT(*) AS n FROM verts)
+SELECT v.id,
+       ROUND(CASE WHEN COALESCE(s.ds, 0) > 0 AND (SELECT n FROM n) > 1
+             THEN (s.reach - 1) * (s.reach - 1)
+                  / (((SELECT n FROM n) - 1) * s.ds)::DOUBLE
+             ELSE 0.0 END, 6) AS closeness
+FROM verts v LEFT JOIN s ON s.source = v.id""",
+        "cs_bipartite2": f"""
+WITH edges AS ({CS_EDGES_SQL}),
+ldeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+rdeg AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst),
+f1 AS (SELECT e.src, e.dst, 1.0 AS lw, 1.0 / ld.d AS flow
+       FROM edges e JOIN ldeg ld ON ld.src = e.src),
+rw AS (SELECT dst, 0.9 * SUM(flow) AS w FROM f1 GROUP BY dst),
+f2 AS (SELECT e.src, e.dst, rw.w AS rww, rw.w / rd.d AS flow
+       FROM edges e JOIN rw ON rw.dst = e.dst JOIN rdeg rd ON rd.dst = e.dst),
+lw AS (SELECT src, 0.3 * 1.0 + 0.7 * SUM(flow) AS w FROM f2 GROUP BY src),
+rc AS (SELECT dst, string_agg(src::VARCHAR, ',' ORDER BY rn) AS contribs FROM (
+   SELECT dst, src, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY lw DESC, src ASC) AS rn
+   FROM f1) WHERE rn <= 2 GROUP BY dst),
+lc AS (SELECT src, string_agg(dst::VARCHAR, ',' ORDER BY rn) AS contribs FROM (
+   SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY rww DESC, dst ASC) AS rn
+   FROM f2) WHERE rn <= 2 GROUP BY src)
+SELECT 'L' AS side, lw.src AS id, ROUND(lw.w, 6) AS weight, lc.contribs
+FROM lw JOIN lc ON lc.src = lw.src
+UNION ALL
+SELECT 'R', rw.dst, ROUND(rw.w, 6), rc.contribs
+FROM rw JOIN rc ON rc.dst = rw.dst""",
+        "ev_all_paths4": f"""
+WITH RECURSIVE edges AS ({EV_EDGES_SQL}),
+f(id, lvl) AS (
+  SELECT 0::BIGINT AS id, 0 AS lvl
+  UNION ALL
+  SELECT e.dst, f.lvl + 1 FROM f JOIN edges e ON e.src = f.id WHERE f.lvl < 4
+)
+SELECT id, COUNT(*)::BIGINT AS visits FROM f GROUP BY id""",
+        "ev_multi_bfs": f"""
+WITH RECURSIVE edges AS ({EV_EDGES_SQL}),
+walk(source, id, depth) AS (
+  SELECT s.s::BIGINT, s.s::BIGINT, 0 FROM (VALUES (0), (1), (2)) s(s)
+  UNION
+  SELECT w.source, e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.id WHERE w.depth < 64
+)
+SELECT source, id, MIN(depth)::INT AS depth FROM walk GROUP BY source, id""",
     }

@@ -16,6 +16,13 @@ See SURVEY.md for the reference analysis and the operator inventory.
 """
 
 from cassovary_spark.session import get_spark
+from cassovary_spark.dynamic import DynamicGraph
+from cassovary_spark.labels import (
+    read_labels,
+    write_labels,
+    read_label_file,
+    label_of_nodes,
+)
 from cassovary_spark.graph import (
     normalize_edges,
     vertices_of,
@@ -41,4 +48,9 @@ __all__ = [
     "mutualize",
     "canonicalize_undirected",
     "graph_stats",
+    "DynamicGraph",
+    "read_labels",
+    "write_labels",
+    "read_label_file",
+    "label_of_nodes",
 ]

@@ -147,7 +147,11 @@ class StateScratch:
         import shutil
 
         self.spark = spark
-        self.dir = tempfile.mkdtemp(prefix="cassovary_state_")
+        from cassovary_spark.session import _scratch_root
+
+        scratch_root = _scratch_root()
+        os.makedirs(scratch_root, exist_ok=True)
+        self.dir = tempfile.mkdtemp(prefix="cassovary_state_", dir=scratch_root)
         self.keep_last = keep_last
         self._i = 0
         self._paths: list[str] = []
@@ -197,7 +201,18 @@ class StateScratch:
                 while len(self._tables) > self.keep_last:
                     self.spark.sql(f"DROP TABLE IF EXISTS {self._tables.pop(0)}")
                 return self.spark.table(name)
-            except Exception:  # noqa: BLE001 — no-catalog environments
+            except Exception as exc:  # noqa: BLE001 — no-catalog environments
+                # LOUD fallback: plain-parquet state costs ~2x per superstep
+                # (the update join re-exchanges+sorts both sides); silent
+                # degradation once produced a mystery-slow benchmark run
+                import sys
+
+                print(
+                    f"[cassovary_spark] StateScratch: bucketed state write "
+                    f"failed ({type(exc).__name__}: {exc}); falling back to "
+                    f"plain parquet for this scratch",
+                    file=sys.stderr,
+                )
                 self._bucketing_ok = False
 
         path = os.path.join(self.dir, f"s{self._i:06d}")

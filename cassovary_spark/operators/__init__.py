@@ -14,10 +14,26 @@ from cassovary_spark.operators.similarity import (
 )
 from cassovary_spark.operators.mutual import mutual_edge_count
 from cassovary_spark.operators.bipartite import bipartite_link_analysis, BipartiteAnalysis
+from cassovary_spark.operators.node_ops import (
+    neighbor_lists,
+    neighbor_counts,
+    is_neighbor,
+    intersect_neighbors,
+    random_neighbors,
+    exists_node,
+)
+from cassovary_spark.operators.tourists import (
+    visits_counter,
+    prev_nbr_counter,
+    paths_counter,
+    info_keeper,
+)
 from cassovary_spark.operators.traversals import (
     bfs,
     multi_source_bfs,
     all_paths_walk,
+    random_walk_events,
+    dfs_times,
     random_walk_visits,
     personalized_pagerank,
 )
@@ -42,5 +58,17 @@ __all__ = [
     "multi_source_bfs",
     "all_paths_walk",
     "random_walk_visits",
+    "random_walk_events",
+    "dfs_times",
     "personalized_pagerank",
+    "visits_counter",
+    "prev_nbr_counter",
+    "paths_counter",
+    "info_keeper",
+    "neighbor_lists",
+    "neighbor_counts",
+    "is_neighbor",
+    "intersect_neighbors",
+    "random_neighbors",
+    "exists_node",
 ]

@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from cassovary_spark.checkpoint import CheckpointStore, StateScratch, materialize
@@ -91,10 +91,17 @@ def connected_components(
                 new_labels.join(lut, "component", "left")
                 .select("id", F.coalesce("jump", "component").alias("component"))
             )
-        new_labels = scratch.roundtrip(new_labels.repartition(p, "id"))
+        # convergence metric (Σ labels strictly decreases until fixpoint)
+        # collected via observe during the state write — one job/superstep
+        obs = Observation()
+        new_labels = scratch.roundtrip(
+            new_labels.repartition(p, "id").observe(
+                obs, F.sum("component").alias("s")
+            )
+        )
         iteration += 1
 
-        cur_sum = new_labels.agg(F.sum("component")).first()[0]
+        cur_sum = obs.get["s"]
         labels = new_labels
         if checkpoint is not None:
             labels = checkpoint.save(

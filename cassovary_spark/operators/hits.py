@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from cassovary_spark.checkpoint import StateScratch, materialize
@@ -91,33 +91,45 @@ def hits(
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("a_raw").alias("h_raw"))
         )
+        # carry the previous (normalized) hub along and collect the per-side
+        # maxes via ``observe`` DURING the materialization — the reference's
+        # scale-by-max pass (Hits.scala:53-56,101) without its own scan
         joined = (
-            verts.join(hub_raw, "id", "left")
+            state.select("id", F.col("hub").alias("prev_hub"))
+            .join(hub_raw, "id", "left")
             .join(auth_full, "id")
-            .select("id", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"), "a_raw")
+            .select(
+                "id", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
+                "a_raw", "prev_hub",
+            )
+            .repartition(p, "id")
         )
-        joined = materialize(joined.repartition(p, "id"))
-
-        maxes = joined.agg(
-            F.max("h_raw").alias("hmax"), F.max("a_raw").alias("amax")
-        ).first()
+        obs_max = Observation()
+        joined = scratch.roundtrip(
+            joined.observe(
+                obs_max, F.max("h_raw").alias("hmax"), F.max("a_raw").alias("amax")
+            )
+        )
+        maxes = obs_max.get
         hmax = maxes["hmax"] if (maxes["hmax"] or 0) > 0 else 1.0
         amax = maxes["amax"] if (maxes["amax"] or 0) > 0 else 1.0
 
+        # normalization write doubles as the T1-error scan (observe again)
+        obs_err = Observation()
         new_state = scratch.roundtrip(
             joined.select(
                 "id",
                 (F.col("h_raw") / F.lit(hmax)).alias("hub"),
                 (F.col("a_raw") / F.lit(amax)).alias("authority"),
+                "prev_hub",
             )
+            .observe(
+                obs_err,
+                F.sum(F.abs(F.col("prev_hub") - F.col("hub"))).alias("e"),
+            )
+            .drop("prev_hub")
         )
-
-        error = (
-            state.select("id", F.col("hub").alias("prev_hub"))
-            .join(new_state.select("id", "hub"), "id")
-            .agg(F.sum(F.abs(F.col("prev_hub") - F.col("hub"))).alias("e"))
-            .first()["e"]
-        )
+        error = obs_err.get["e"]
         iteration += 1
         history.append({"iteration": iteration, "error": error})
         state = new_state

@@ -22,7 +22,7 @@ pre-aggregation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from cassovary_spark.checkpoint import CheckpointStore, StateScratch, materialize
@@ -75,19 +75,28 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("id", F.col("label").alias("new_label"))
         )
+        # changed-count collected via observe during the state write (the
+        # previous label rides along as a dropped column) — one job/superstep
+        obs = Observation()
         new_labels = scratch.roundtrip(
             labels.join(mode_label, "id", "left")
-            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .select(
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+                F.col("label").alias("prev"),
+            )
             .repartition(p, "id")
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("prev") != F.col("label"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .drop("prev")
         )
         iteration += 1
 
-        changed = (
-            labels.select("id", F.col("label").alias("prev"))
-            .join(new_labels, "id")
-            .filter(F.col("prev") != F.col("label"))
-            .count()
-        )
+        changed = obs.get["changed"]
         labels = new_labels
         if checkpoint is not None:
             labels = checkpoint.save(iteration, labels, {"error": float(changed)})

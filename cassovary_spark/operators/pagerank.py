@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from cassovary_spark.checkpoint import CheckpointStore, StateScratch
@@ -146,8 +146,11 @@ def pagerank(
         or 0.0
     )
 
+    import time as _time
+
     iteration = start_iter
     while not terminated(iteration, error):
+        _t0 = _time.time()
         dangle_sum = damping * dangle_mass / n
 
         # MERGE hints pin sort-merge joins: never broadcast the O(V) rank
@@ -165,9 +168,11 @@ def pagerank(
                 .agg(F.sum(F.col("w") * F.col("pagerank")).alias("gathered"))
             )
         # the rank table itself is the full vertex set, so the update join is
-        # ranks (not verts) x contribs — carrying the previous score along as
-        # a column means the T1-error job below needs NO join, saving one
-        # 2xO(V) shuffle per superstep.
+        # ranks (not verts) x contribs — and the T1 error + next dangling
+        # mass are collected via ``observe`` DURING the state-write job
+        # (CollectMetrics runs as the rows stream to the sink), so each
+        # superstep is exactly ONE job with ONE read of the previous state
+        # and ONE write of the new state — no separate stats scan.
         new_ranks = (
             ranks.hint("merge")
             .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
@@ -183,13 +188,14 @@ def pagerank(
             )
             .repartition(p, "id")
         )
-        new_ranks = scratch.roundtrip(new_ranks, bucket_by="id", num_buckets=p)
-
-        # one combined scalar scan: T1 error vs previous + next dangling mass
-        stats = new_ranks.agg(
+        obs = Observation()
+        observed = new_ranks.observe(
+            obs,
             F.sum(F.abs(F.col("prev") - F.col("pagerank"))).alias("e"),
             F.sum(F.when(F.col("is_dangling"), F.col("pagerank"))).alias("d"),
-        ).first()
+        ).drop("prev")
+        new_ranks = scratch.roundtrip(observed, bucket_by="id", num_buckets=p)
+        stats = obs.get
         error = stats["e"]
         dangle_mass = stats["d"] or 0.0
         iteration += 1
@@ -199,6 +205,8 @@ def pagerank(
             "dangle_sum": dangle_sum,
             "node_count": n,
             "edge_count": m,
+            "wall_sec": round(_time.time() - _t0, 3),
+            "state_bucketed": scratch._bucketing_ok,
         }
         history.append(row)
         if checkpoint is not None and iteration % checkpoint_every == 0:

@@ -22,7 +22,7 @@ JVM-side via ``F.rand`` over grouped adjacency arrays — no per-row Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from cassovary_spark.checkpoint import StateScratch, materialize
@@ -226,6 +226,163 @@ def random_walk_visits(
     return result
 
 
+def random_walk_events(
+    edges: DataFrame,
+    start_nodes: list[int],
+    num_steps: int,
+    reset_prob: float = 0.0,
+    num_walkers: int = 100,
+    seed: int = 42,
+    track_paths: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Bounded random walk emitting the full EVENT LOG instead of aggregated
+    visit counts — one row per (walker, step) with the node visited, the
+    previous node (null on starts/resets), and optionally the directed path
+    from the walker's last reset (DirectedPathCollection semantics,
+    graph/DirectedPathCollection.scala:7-31: reset restarts the path at home).
+
+    Feed the result to ``tourists.visits_counter`` / ``prev_nbr_counter`` /
+    ``paths_counter`` — the distributed analog of the reference's mutable
+    tourist collectors riding a Traverser (graph/Traverser.scala:75-136,
+    graph/GraphUtils.scala:106-130).
+
+    Returns ``(walker, step, id, prev[, path])``.
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = _adjacency_lists(edges, p).persist()
+
+    homes = [int(start_nodes[i % len(start_nodes)]) for i in range(num_walkers)]
+    walkers = spark.createDataFrame(
+        [(i, h, h) for i, h in enumerate(homes)], "walker long, home long, cur long"
+    )
+    if track_paths:
+        walkers = walkers.withColumn("path", F.array("cur"))
+    walkers = walkers.repartition(p, "cur")
+
+    def ev(df: DataFrame, step: int, prev_col) -> DataFrame:
+        cols = [
+            "walker",
+            F.lit(step).alias("step"),
+            F.col("cur").alias("id"),
+            prev_col.alias("prev"),
+        ]
+        if track_paths:
+            cols.append("path")
+        return df.select(*cols)
+
+    frames = [ev(walkers, 0, F.lit(None).cast("long"))]
+    for step in range(num_steps):
+        reset = (F.col("_r") < F.lit(reset_prob)) | F.col("nbrs").isNull()
+        nxt = F.element_at(
+            "nbrs",
+            (F.floor(F.rand(seed * 1000003 + step) * F.size("nbrs")).cast("int") + 1),
+        )
+        cols = [
+            "walker",
+            "home",
+            F.when(reset, F.col("home")).otherwise(nxt).alias("cur"),
+            F.when(reset, F.lit(None).cast("long"))
+            .otherwise(F.col("cur"))
+            .alias("_prev"),
+        ]
+        if track_paths:
+            cols.append(
+                F.when(reset, F.array("home"))
+                .otherwise(F.concat("path", F.array(nxt)))
+                .alias("path")
+            )
+        stepped = (
+            walkers.join(adj, walkers.cur == adj.src, "left")
+            .withColumn("_r", F.rand(seed + step))
+            .select(*cols)
+            .repartition(p, "cur")
+        )
+        walkers = materialize(stepped)
+        frames.append(ev(walkers, step + 1, F.col("_prev")))
+        walkers = walkers.drop("_prev")
+
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.union(f)
+    result = materialize(out)
+    adj.unpersist()
+    return result
+
+
+def dfs_times(
+    edges: DataFrame, seeds: list[int], max_depth: int | None = None
+) -> DataFrame:
+    """Depth-first traversal with discovery/finish times
+    (graph/Traverser.scala:487-538; DiscoveryAndFinishTimeTracker
+    :577-618). Visit-once LIFO order, neighbors expanded in sorted order
+    (NeighborsSortingStrategy analog); one shared clock ticks on each
+    discovery and each finish; multiple seeds run in sequence on the same
+    visited set.
+
+    DFS is inherently sequential, so this runs the whole (small) graph in ONE
+    Arrow batch via ``mapInPandas`` after a single-partition coalesce — a
+    fixture-scale operator, exactly as sequential as the reference's own
+    single-threaded traverser. Not for web-scale graphs (documented
+    limitation; the distributed traversals above are the scale path).
+
+    Returns ``(id, discovery, finish)``.
+    """
+    spark = edges.sparkSession
+    seed_list = [int(s) for s in seeds]
+
+    def run(batches):
+        import pandas as pd
+
+        adj: dict[int, list[int]] = {}
+        for pdf in batches:
+            for s, d in zip(pdf["src"], pdf["dst"]):
+                adj.setdefault(int(s), []).append(int(d))
+        for v in adj.values():
+            v.sort()
+        disc: dict[int, int] = {}
+        fin: dict[int, int] = {}
+        clock = 0
+        for seed_node in seed_list:
+            if seed_node in disc:
+                continue
+            # iterative DFS: stack of (node, neighbor iterator, depth)
+            disc[seed_node] = clock
+            clock += 1
+            stack = [(seed_node, iter(adj.get(seed_node, [])), 0)]
+            while stack:
+                node, it, depth = stack[-1]
+                advanced = False
+                if max_depth is None or depth < max_depth:
+                    for nbr in it:
+                        if nbr not in disc:
+                            disc[nbr] = clock
+                            clock += 1
+                            stack.append((nbr, iter(adj.get(nbr, [])), depth + 1))
+                            advanced = True
+                            break
+                if not advanced:
+                    fin[node] = clock
+                    clock += 1
+                    stack.pop()
+        yield pd.DataFrame(
+            {
+                "id": pd.Series(list(disc.keys()), dtype="int64"),
+                "discovery": pd.Series(
+                    [disc[k] for k in disc], dtype="int64"
+                ),
+                "finish": pd.Series([fin[k] for k in disc], dtype="int64"),
+            }
+        )
+
+    return (
+        edges.select("src", "dst")
+        .coalesce(1)
+        .mapInPandas(run, schema="id long, discovery long, finish long")
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: list[int],
@@ -275,18 +432,21 @@ def personalized_pagerank(
     ranks = scratch.roundtrip(
         verts_s.select("id", F.col("seed_mass").alias("score"), "is_dangling", "seed_mass")
     )
+    # initial dangling mass (one scan); afterwards collected by observe
+    # during each state write — one job per superstep total
+    dangle = (
+        ranks.filter(F.col("is_dangling")).agg(F.sum("score").alias("s")).first()["s"]
+        or 0.0
+    )
     for _ in range(max_iterations):
-        dangle = (
-            ranks.filter(F.col("is_dangling")).agg(F.sum("score").alias("s")).first()["s"]
-            or 0.0
-        )
         contribs = (
             wedges.hint("merge").join(ranks.select(F.col("id").alias("src"), "score"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("w") * F.col("score")).alias("gathered"))
         )
         new_ranks = (
-            verts_s.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            ranks.hint("merge")
+            .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
             .select(
                 "id",
                 (
@@ -295,16 +455,21 @@ def personalized_pagerank(
                 ).alias("score"),
                 "is_dangling",
                 "seed_mass",
+                F.col("score").alias("prev"),
             )
             .repartition(p, "id")
         )
-        new_ranks = scratch.roundtrip(new_ranks)
-        err = (
-            ranks.select("id", F.col("score").alias("prev"))
-            .join(new_ranks.select("id", "score"), "id")
-            .agg(F.sum(F.abs(F.col("prev") - F.col("score"))).alias("e"))
-            .first()["e"]
+        obs = Observation()
+        new_ranks = scratch.roundtrip(
+            new_ranks.observe(
+                obs,
+                F.sum(F.abs(F.col("prev") - F.col("score"))).alias("e"),
+                F.sum(F.when(F.col("is_dangling"), F.col("score"))).alias("d"),
+            ).drop("prev")
         )
+        stats = obs.get
+        err = stats["e"]
+        dangle = stats["d"] or 0.0
         ranks = new_ranks
         if err <= tolerance:
             break

@@ -88,6 +88,42 @@ def wedge_count(edges: DataFrame) -> int:
     return int(row["w"] or 0)
 
 
+def triangle_count_estimate(
+    edges: DataFrame, sample_prob: float = 0.1, seed: int = 42
+) -> dict:
+    """Sampling ESTIMATE of ``(transitivity, triangles)`` — the scale-path
+    counterpart of the reference's streaming wedge-sampling estimator
+    (TriangleCount.scala:20-185, Jha et al. arXiv:1212.2264; parameters
+    edgeReservoirSize/wedgeReservoirSize -> here one ``sample_prob``).
+
+    The reference's reservoirs assume a single sequential pass; the
+    distributed analog is graph sparsification (DOULION, Tsourakakis et al.
+    KDD'09): keep each canonical undirected edge independently with
+    probability p (deterministic per-edge coin via xxhash64 — reproducible
+    across runs AND parallelism levels, unlike rand()), count exactly on the
+    sparsified graph, scale triangles by 1/p^3. Wedges are counted exactly
+    (cheap degree aggregation), so transitivity = 3*est/wedges.
+
+    Accuracy: unbiased; relative error ~ 1/sqrt(p^3 * T). Use the exact
+    ``triangle_count`` for fixture parity; this for 10^12-edge scans.
+    """
+    canon = canonicalize_undirected(edges)
+    # deterministic coin: hash(src, dst, seed) -> [0, 1)
+    coin = (F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1 << 30))
+            / F.lit(float(1 << 30)))
+    kept = canon.filter(coin < sample_prob)
+    t_sparse = triangle_count(kept)
+    est = t_sparse / (sample_prob ** 3)
+    w = wedge_count(edges)
+    return {
+        "triangles_estimate": est,
+        "triangles_sampled": t_sparse,
+        "wedges": w,
+        "transitivity_estimate": (3.0 * est / w) if w else 0.0,
+        "sample_prob": sample_prob,
+    }
+
+
 def transitivity_stats(edges: DataFrame) -> dict:
     """``{'triangles', 'wedges', 'transitivity'}`` — exact version of the
     reference's (transitivity, triangleEstimate) pair (TriangleCount.scala:168-184)."""

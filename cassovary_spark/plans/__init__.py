@@ -1,10 +1,27 @@
 """Physical layout planning: dual-orientation edge copies, hub salting,
-degree bucketing — the engine-level layout decisions Catalyst doesn't make."""
+degree bucketing, and the reference's Partitioner family — the engine-level
+layout decisions Catalyst doesn't make."""
 
 from cassovary_spark.plans.layout import (
     DualOrientationEdges,
     salted_gather_sum,
     degree_buckets,
 )
+from cassovary_spark.plans.partitioners import (
+    random_node_mapper,
+    hash_source_mapper,
+    hash_dest_mapper,
+    hash_source_and_dest_mapper,
+    split_graph,
+)
 
-__all__ = ["DualOrientationEdges", "salted_gather_sum", "degree_buckets"]
+__all__ = [
+    "DualOrientationEdges",
+    "salted_gather_sum",
+    "degree_buckets",
+    "random_node_mapper",
+    "hash_source_mapper",
+    "hash_dest_mapper",
+    "hash_source_and_dest_mapper",
+    "split_graph",
+]

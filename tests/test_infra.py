@@ -163,4 +163,9 @@ def test_oracle_queries_importable():
         "doc_simhash_dups",
         "emb_lsh_ann",
         "multimodal_features",
+        "ev_dfs",
+        "ev_walk_visits",
+        "ev_walk_prev_nbrs",
+        "tr_turn_text",
+        "tr_pagerank5",
     }

@@ -74,3 +74,19 @@ def test_directed_input_is_undirected_view(spark):
         )
         == 1
     )
+
+
+def test_triangle_estimator_unbiased_and_deterministic(spark):
+    from cassovary_spark.operators.triangles import triangle_count_estimate
+    from cassovary_spark.sources.generators import complete_graph
+
+    e = complete_graph(spark, 12)  # 220 triangles exactly
+    a = triangle_count_estimate(e, sample_prob=0.6, seed=7)
+    b = triangle_count_estimate(e, sample_prob=0.6, seed=7)
+    # deterministic hash coin: identical across runs (and parallelism levels)
+    assert a == b
+    assert a["wedges"] == 12 * 11 * 10 // 2
+    assert a["triangles_estimate"] == pytest.approx(220, rel=0.6)
+    # full-probability sampling degenerates to the exact count
+    full = triangle_count_estimate(e, sample_prob=1.0, seed=7)
+    assert full["triangles_sampled"] == 220
