@@ -430,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = bipartite_link_analysis(
             e, lw, num_iterations=2, reset_prob_left=0.3,
             reset_prob_right=0.1, num_top_contributors=2,
+            contributor_weight_rounding=6,
         )
         def fmt(df, side):
             return df.select(
@@ -706,7 +707,8 @@ WHERE x.vec_id < y.vec_id
     / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) >= 0.3""",
         "ev_closeness": f"""
 WITH RECURSIVE edges AS ({EV_EDGES_SQL}),
-verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+verts AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
 walk(source, id, depth) AS (
   SELECT id, id, 0 FROM verts
   UNION
@@ -733,10 +735,12 @@ f2 AS (SELECT e.src, e.dst, rw.w AS rww, rw.w / rd.d AS flow
        FROM edges e JOIN rw ON rw.dst = e.dst JOIN rdeg rd ON rd.dst = e.dst),
 lw AS (SELECT src, 0.3 * 1.0 + 0.7 * SUM(flow) AS w FROM f2 GROUP BY src),
 rc AS (SELECT dst, string_agg(src::VARCHAR, ',' ORDER BY rn) AS contribs FROM (
-   SELECT dst, src, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY lw DESC, src ASC) AS rn
+   SELECT dst, src,
+          ROW_NUMBER() OVER (PARTITION BY dst ORDER BY ROUND(lw, 6) DESC, src ASC) AS rn
    FROM f1) WHERE rn <= 2 GROUP BY dst),
 lc AS (SELECT src, string_agg(dst::VARCHAR, ',' ORDER BY rn) AS contribs FROM (
-   SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY rww DESC, dst ASC) AS rn
+   SELECT src, dst,
+          ROW_NUMBER() OVER (PARTITION BY src ORDER BY ROUND(rww, 6) DESC, dst ASC) AS rn
    FROM f2) WHERE rn <= 2 GROUP BY src)
 SELECT 'L' AS side, lw.src AS id, ROUND(lw.w, 6) AS weight, lc.contribs
 FROM lw JOIN lc ON lc.src = lw.src

@@ -27,6 +27,15 @@ from pyspark.sql import functions as F
 from cassovary_spark.checkpoint import StateScratch
 
 
+def _ranked_list(col: str):
+    """rank-ordered list aggregation: ``collect_list`` after a window does
+    NOT guarantee window order (observed reordering at sf0.01) — collect
+    (rn, value) structs, sort by rn, project the value."""
+    return F.transform(
+        F.sort_array(F.collect_list(F.struct("rn", col))), lambda s: s[col]
+    )
+
+
 @dataclass
 class BipartiteAnalysis:
     left: DataFrame   # (id, weight, contributors: array<long>)
@@ -41,11 +50,17 @@ def bipartite_link_analysis(
     reset_prob_right: float = 0.0,
     num_top_contributors: int = 3,
     num_partitions: int | None = None,
+    contributor_weight_rounding: int | None = None,
 ) -> BipartiteAnalysis:
     """``edges`` are left->right pairs (src=left id, dst=right id);
     ``left_weights`` is ``(id, weight)`` initial left-side weights (the
     SuppliedNodeInfo seq). Ids may overlap across sides (distinct spaces
-    recommended)."""
+    recommended).
+
+    ``contributor_weight_rounding``: round contributor weights to this many
+    decimals before ranking — float-noise-stable ordering for cross-engine
+    comparisons (the reference's priority queue has unspecified tie order,
+    so any deterministic refinement is valid)."""
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -105,14 +120,19 @@ def bipartite_link_analysis(
                 )
             )
             if last:
+                rank_w = (
+                    F.round("src_weight", contributor_weight_rounding)
+                    if contributor_weight_rounding is not None
+                    else F.col("src_weight")
+                )
                 w = Window.partitionBy("dst").orderBy(
-                    F.desc("src_weight"), F.asc("src")
+                    rank_w.desc(), F.asc("src")
                 )
                 r_contrib = contrib_scratch.roundtrip(
                     flows.withColumn("rn", F.row_number().over(w))
                     .filter(F.col("rn") <= num_top_contributors)
                     .groupBy(F.col("dst").alias("id"))
-                    .agg(F.collect_list("src").alias("contributors"))
+                    .agg(_ranked_list("src").alias("contributors"))
                 )
         else:  # right -> left, reset prob on left
             flows = (
@@ -144,14 +164,19 @@ def bipartite_link_analysis(
                 )
             )
             if last:
+                rank_w = (
+                    F.round("src_weight", contributor_weight_rounding)
+                    if contributor_weight_rounding is not None
+                    else F.col("src_weight")
+                )
                 w = Window.partitionBy("src").orderBy(
-                    F.desc("src_weight"), F.asc("dst")
+                    rank_w.desc(), F.asc("dst")
                 )
                 l_contrib = contrib_scratch.roundtrip(
                     flows.withColumn("rn", F.row_number().over(w))
                     .filter(F.col("rn") <= num_top_contributors)
                     .groupBy(F.col("src").alias("id"))
-                    .agg(F.collect_list("dst").alias("contributors"))
+                    .agg(_ranked_list("dst").alias("contributors"))
                 )
 
     empty = F.array().cast("array<bigint>")

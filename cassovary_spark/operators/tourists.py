@@ -21,6 +21,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ranked_list(col: str):
+    """rank-ordered list aggregation: ``collect_list`` after a window does
+    NOT guarantee window order — collect (rn, value) structs, sort by rn,
+    project the value."""
+    return F.transform(
+        F.sort_array(F.collect_list(F.struct("rn", col))), lambda s: s[col]
+    )
+
+
 def visits_counter(events: DataFrame) -> DataFrame:
     """Visit multiplicity per node, ordered (count desc, id asc) like
     VisitsCounter.infoAllNodes iteration (VisitsCounter.scala:40-57).
@@ -51,7 +60,7 @@ def prev_nbr_counter(events: DataFrame, k: int = 3) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .groupBy("id")
-        .agg(F.collect_list("prev").alias("prev_nbrs"))
+        .agg(_ranked_list("prev").alias("prev_nbrs"))
     )
 
 
@@ -73,7 +82,7 @@ def paths_counter(events: DataFrame, k: int = 3) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .groupBy("id")
-        .agg(F.collect_list("path").alias("paths"))
+        .agg(_ranked_list("path").alias("paths"))
     )
 
 
