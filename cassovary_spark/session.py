@@ -71,6 +71,11 @@ def get_spark(
         "spark.driver.memory": os.environ.get("CASSOVARY_SPARK_DRIVER_MEM", "48g"),
         # iterative algorithms truncate lineage via localCheckpoint
         "spark.checkpoint.compress": "true",
+        # bucketed state tables are written bucketBy(p).sortBy(key) with one
+        # file per bucket; reporting their sort order lets the superstep SMJ
+        # skip BOTH the exchange and the sort on the O(V) state side (Spark
+        # still falls back to sorting when a bucket has multiple files)
+        "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
         # Tungsten execution memory off-heap: sort/shuffle/join buffers
         # bypass the GC heap entirely — at 32 threads the allocation rate of
         # on-heap execution memory makes G1 pause-bound (measured 14s..52s
