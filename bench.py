@@ -121,6 +121,29 @@ def build_workloads(spark, sf_dir: str, sf: float):
         q = emb.limit(50)
         cosine_top_k(emb, q, k=10).count()
 
+    def w_bipartite_cs():
+        from cassovary_spark.operators import bipartite_link_analysis
+
+        lw = cs.select(F.col("src").alias("id")).distinct().withColumn(
+            "weight", F.lit(1.0)
+        )
+        res = bipartite_link_analysis(cs, lw, num_iterations=4,
+                                      reset_prob_left=0.3, reset_prob_right=0.1)
+        res.left.count()
+        res.right.count()
+
+    def w_walk_tourists():
+        from cassovary_spark.operators import (
+            prev_nbr_counter,
+            random_walk_events,
+            visits_counter,
+        )
+
+        ev = random_walk_events(tedges, [0], num_steps=8, reset_prob=0.15,
+                                num_walkers=10_000, seed=11)
+        visits_counter(ev).count()
+        prev_nbr_counter(ev, k=3).count()
+
     return [
         ("pagerank_turns_1e6", w_pagerank_turns),
         ("pagerank_cs_1e6", w_pagerank_cs),
@@ -134,6 +157,8 @@ def build_workloads(spark, sf_dir: str, sf: float):
         ("dedup_docs", w_dedup_docs),
         ("quality_docs", w_quality_docs),
         ("embeddings_top10", w_embeddings),
+        ("bipartite_cs_4", w_bipartite_cs),
+        ("walk_tourists_10k", w_walk_tourists),
     ], aux
 
 

@@ -1,0 +1,53 @@
+"""Streaming turn-edge ingestion: incremental derivation == batch derivation,
+including conversation turns that span micro-batches."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassovary_spark.sources import synth_transcripts, turn_edges
+from cassovary_spark.streaming import stream_turn_edges
+
+
+@pytest.mark.parametrize("split_turn", [1, 3])
+def test_stream_edges_match_batch(spark, tmp_path, split_turn):
+    """Feed the same transcripts in two file chunks split MID-conversation;
+    the streaming result must equal the batch derivation exactly."""
+    t = synth_transcripts(spark, n_convs=12, seed=7).persist()
+    batch_edges = {(r["src"], r["dst"]) for r in turn_edges(t).collect()}
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    # chunk 1: every conversation's turns < split_turn; chunk 2: the rest.
+    # every conversation with > split_turn turns now SPANS micro-batches.
+    t.filter(F.col("turn_idx") < split_turn).coalesce(1).write.parquet(
+        f"{src_dir}/b0"
+    )
+    t.filter(F.col("turn_idx") >= split_turn).coalesce(1).write.parquet(
+        f"{src_dir}/b1"
+    )
+
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/b*")
+    )
+    edges = stream_turn_edges(stream)
+    q = (
+        edges.writeStream.format("memory")
+        .queryName(f"edges_sink_{split_turn}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["src"], r["dst"])
+        for r in spark.table(f"edges_sink_{split_turn}").collect()
+    }
+    t.unpersist()
+    assert got == batch_edges
