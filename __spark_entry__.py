@@ -210,6 +210,74 @@ walk(id, depth) AS (
 SELECT id, MIN(depth)::INT AS depth FROM walk GROUP BY id"""
 
 
+def _ppr_sql(edges_sql: str, seed: int, iters: int, alpha: float = 0.15) -> str:
+    """Unrolled personalized-PageRank power iteration (operators/iterative.py
+    ``personalized_pagerank`` semantics: score0 = seed indicator; per step
+    score' = gather + (alpha + d*dangling_mass) * seed_mass)."""
+    d = 1.0 - alpha
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src AS id, count(*)::DOUBLE AS deg FROM edges GROUP BY src)",
+        f"""base AS (SELECT v.id, o.deg, (o.deg IS NULL) AS dangling,
+               CASE WHEN v.id = {seed} THEN 1.0 ELSE 0.0 END AS seed_mass
+               FROM verts v LEFT JOIN outdeg o ON v.id = o.id)""",
+        "s0 AS (SELECT id, seed_mass AS s, deg, dangling, seed_mass FROM base)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"s{k - 1}"
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT b.id,
+         COALESCE(c.contrib, 0)
+           + ({alpha} + {d}*(SELECT COALESCE(SUM(s),0) FROM {p} WHERE dangling))
+             * b.seed_mass AS s,
+         b.deg, b.dangling, b.seed_mass
+  FROM base b LEFT JOIN (
+    SELECT e.dst AS id, SUM({d} * p.s / p.deg) AS contrib
+    FROM edges e JOIN {p} p ON e.src = p.id GROUP BY e.dst
+  ) c ON b.id = c.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(s, 6) AS score FROM s{iters}"
+    )
+
+
+def _lpa_sql(edges_sql: str, iters: int) -> str:
+    """Unrolled synchronous label propagation (operators/labelprop.py
+    semantics: mutualized edges, label' = most frequent neighbor label with
+    smallest-label tie-break, keep own label when no neighbors). Safe to
+    unroll past Spark's early stop: the changed==0 stop is a fixpoint, and
+    the update map is stationary at a fixpoint."""
+    ctes = [
+        f"edges AS ({edges_sql})",
+        """und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+) WHERE src <> dst)""",
+        "verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "l0 AS (SELECT id, id AS label FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"l{k - 1}"
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT p.id, COALESCE(m.lab, p.label) AS label
+  FROM {p} p LEFT JOIN (
+    SELECT id, lab FROM (
+      SELECT id, lab, ROW_NUMBER() OVER (
+        PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn
+      FROM (
+        SELECT e.src AS id, q.label AS lab, count(*) AS cnt
+        FROM und e JOIN {p} q ON e.dst = q.id GROUP BY 1, 2
+      )
+    ) WHERE rn = 1
+  ) m ON m.id = p.id)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{iters}"
+
+
 _DOC_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
 _DOC_TOKENS = (
     "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
@@ -328,13 +396,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.round("centrality", 6).alias("centrality")
         )
 
-    def q_ev_lpa(spark, sf):  # rows-only (no closed-form SQL)
+    def q_ev_lpa(spark, sf):
         return label_propagation(_ev_edges(spark, sf), max_iterations=10)
 
-    def q_ev_ppr(spark, sf):  # rows-only
-        return personalized_pagerank(_ev_edges(spark, sf), [0], max_iterations=10).select(
-            "id", F.round("score", 6).alias("score")
-        )
+    def q_ev_ppr(spark, sf):
+        # tolerance=0 pins exactly 10 supersteps so the unrolled SQL oracle
+        # is step-for-step identical (no early convergence divergence)
+        return personalized_pagerank(
+            _ev_edges(spark, sf), [0], max_iterations=10, tolerance=0.0
+        ).select("id", F.round("score", 6).alias("score"))
 
     def q_doc_dedup(spark, sf):
         return exact_dedup(docs(spark, sf))
@@ -373,7 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sig = minhash_signatures(docs(spark, sf), num_hashes=16, shingle_n=3)
         return sig.select("doc_id", F.md5(F.concat_ws("|", "sig")).alias("sig_hash"))
 
-    def q_doc_lsh_pairs(spark, sf):  # rows-only (bucketing layout, not SQL)
+    def q_doc_lsh_pairs(spark, sf):
         return minhash_lsh_candidates(docs(spark, sf), num_hashes=16, bands=4)
 
     def q_doc_simhash_dups(spark, sf):  # rows-only
@@ -405,7 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dim = len(e.select("embedding").first()[0])
         return lsh_bucketed_ann(e, dim=dim, k=3)
 
-    def q_multimodal(spark, sf):  # rows-only (stubbed decode)
+    def q_multimodal(spark, sf):
         media = with_binary_payload(docs(spark, sf), "doc_id", "text", "image")
         return decode_stub_features(media, feature_dim=8).select(
             "media_id", "n_bytes"
@@ -607,6 +677,8 @@ n AS (SELECT count(*) AS n FROM verts),
 i AS (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst)
 SELECT v.id, ROUND(COALESCE(i.c, 0)::DOUBLE / ((SELECT n FROM n) - 1), 6) AS centrality
 FROM verts v LEFT JOIN i ON v.id = i.id""",
+        "ev_lpa": _lpa_sql(EV_EDGES_SQL, iters=10),
+        "ev_ppr": _ppr_sql(EV_EDGES_SQL, seed=0, iters=10),
         "doc_exact_dedup": f"""
 SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS dup_count
 FROM (SELECT doc_id, {_DOC_NORM} AS n FROM documents) GROUP BY n""",
@@ -668,6 +740,25 @@ SELECT doc_id, md5({_DOC_NORM}) AS fp_md5 FROM documents""",
 {_SHINGLES_SQL},
 m AS (SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id)
 SELECT doc_id, md5({minhash_concat}) AS sig_hash FROM m""",
+        "doc_lsh_candidates": f"""
+{_SHINGLES_SQL},
+m AS (SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bucket FROM m
+  UNION ALL
+  SELECT doc_id, 1, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM m
+  UNION ALL
+  SELECT doc_id, 2, md5(h8 || '|' || h9 || '|' || h10 || '|' || h11) FROM m
+  UNION ALL
+  SELECT doc_id, 3, md5(h12 || '|' || h13 || '|' || h14 || '|' || h15) FROM m
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM buckets x JOIN buckets y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""",
+        "multimodal_features": """
+SELECT doc_id::BIGINT AS media_id,
+       COALESCE(octet_length(encode(text)), 0)::BIGINT AS n_bytes
+FROM documents""",
         "doc_ngram_dups": f"""
 WITH norm AS (SELECT doc_id, {_DOC_NORM} AS t FROM documents WHERE doc_id < 100),
 pos AS (SELECT doc_id, t, unnest(range(1, greatest(length(t) - 2, 1) + 1)) AS i FROM norm),
