@@ -441,7 +441,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_doc_minhash(spark, sf):
         sig = minhash_signatures(docs(spark, sf), num_hashes=16, shingle_n=3)
-        return sig.select("doc_id", F.md5(F.concat_ws("|", "sig")).alias("sig_hash"))
+        return sig.select(
+            "doc_id",
+            F.md5(F.concat_ws("|", F.col("sig").cast("array<string>"))).alias(
+                "sig_hash"
+            ),
+        )
 
     def q_doc_lsh_pairs(spark, sf):
         return minhash_lsh_candidates(docs(spark, sf), num_hashes=16, bands=4)
@@ -625,10 +630,20 @@ def oracle_sql() -> dict[str, str]:
   len(list_filter(toks, t -> list_contains({stop_fr}, t))) AS h_fr
 """
 
+    # universal minhash family over one md5 per shingle (see
+    # functions/dedup.py minhash_signatures): x = 32-bit digest prefix,
+    # hash_i = (A_i*x + B_i) mod p, exact int64 in both engines; the
+    # constants come from the SAME function the Spark plan uses.
+    from cassovary_spark.functions.dedup import MINHASH_P, minhash_constants
+
     minhash_cols = ",\n  ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16)
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_constants(16))
     )
-    minhash_concat = " || '|' || ".join(f"h{i}" for i in range(16))
+    minhash_ab = """ab AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+  FROM sh)"""
+    minhash_concat = " || '|' || ".join(f"h{i}::VARCHAR" for i in range(16))
 
     return {
         "cs_edges": CS_EDGES_SQL,
@@ -738,19 +753,21 @@ FROM f""",
 SELECT doc_id, md5({_DOC_NORM}) AS fp_md5 FROM documents""",
         "doc_minhash_sigs": f"""
 {_SHINGLES_SQL},
-m AS (SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id)
+{minhash_ab},
+m AS (SELECT doc_id, {minhash_cols} FROM ab GROUP BY doc_id)
 SELECT doc_id, md5({minhash_concat}) AS sig_hash FROM m""",
         "doc_lsh_candidates": f"""
 {_SHINGLES_SQL},
-m AS (SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id),
+{minhash_ab},
+m AS (SELECT doc_id, {minhash_cols} FROM ab GROUP BY doc_id),
 buckets AS (
-  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bucket FROM m
+  SELECT doc_id, 0 AS band, md5(h0::VARCHAR || '|' || h1::VARCHAR || '|' || h2::VARCHAR || '|' || h3::VARCHAR) AS bucket FROM m
   UNION ALL
-  SELECT doc_id, 1, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM m
+  SELECT doc_id, 1, md5(h4::VARCHAR || '|' || h5::VARCHAR || '|' || h6::VARCHAR || '|' || h7::VARCHAR) FROM m
   UNION ALL
-  SELECT doc_id, 2, md5(h8 || '|' || h9 || '|' || h10 || '|' || h11) FROM m
+  SELECT doc_id, 2, md5(h8::VARCHAR || '|' || h9::VARCHAR || '|' || h10::VARCHAR || '|' || h11::VARCHAR) FROM m
   UNION ALL
-  SELECT doc_id, 3, md5(h12 || '|' || h13 || '|' || h14 || '|' || h15) FROM m
+  SELECT doc_id, 3, md5(h12::VARCHAR || '|' || h13::VARCHAR || '|' || h14::VARCHAR || '|' || h15::VARCHAR) FROM m
 )
 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM buckets x JOIN buckets y

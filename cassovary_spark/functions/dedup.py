@@ -19,6 +19,23 @@ def _norm(text_col: str) -> Column:
     return F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
 
 
+MINHASH_P = 4_294_967_311  # smallest prime > 2^32
+
+
+def minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic per-hash affine constants (A_i, B_i) for the universal
+    family (A*x + B) mod p: A in [1, 2^30) keeps A*x < 2^62 (exact int64 in
+    Spark AND DuckDB), B in [0, p). Fixed golden-ratio/FNV mixing — both the
+    Spark plan and the generated SQL oracle derive from this one function."""
+    return [
+        (
+            (i * 2_654_435_761 + 1_469_598_103) % (2**30 - 1) + 1,
+            (i * 2_246_822_519 + 2_166_136_261) % MINHASH_P,
+        )
+        for i in range(num_hashes)
+    ]
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep one representative (min id) per exact normalized-text group.
     Returns ``(doc_id, dup_count)`` for the kept docs."""
@@ -34,14 +51,21 @@ def char_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col:
     """Distinct character n-gram shingles per doc: ``(doc_id, shingle)``.
 
     Built with sequence+transform (JVM-side, no Python). Docs shorter than n
-    contribute their whole text as one shingle."""
-    norm = _norm(text_col)
+    contribute their whole text as one shingle.
+
+    The normalized text is materialized as its own projection BEFORE the
+    transform: higher-order-function lambdas are interpreted per element with
+    no subexpression elimination, so an inlined regexp_replace would re-run
+    once per character (measured 12.7s -> sub-second at sf0.1 for the array
+    build). Catalyst's CollapseProject keeps the split because the alias is
+    non-cheap and referenced twice."""
+    base = docs.select(F.col(id_col).alias("doc_id"), _norm(text_col).alias("t"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
-        lambda i: norm.substr(i, F.lit(n)),
+        F.sequence(F.lit(1), F.greatest(F.length("t") - (n - 1), F.lit(1))),
+        lambda i: F.col("t").substr(i, F.lit(n)),
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        base.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.col("shingle") != "")
     )
 
@@ -91,19 +115,72 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash signatures: ``(doc_id, sig: array<string>)``.
+    """MinHash signatures: ``(doc_id, sig: array<bigint>)``.
 
-    hash_i(shingle) = md5(i || ':' || shingle); the signature element i is the
-    MIN of that keyed hash over the doc's shingles. md5-based so DuckDB
-    reproduces it bit-for-bit (portable oracle), at the cost of ~2x the speed
-    of xxhash64 — switchable later without changing the LSH layer."""
-    sh = char_shingles(docs, shingle_n, id_col, text_col)
-    sigs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    agg = sh.groupBy("doc_id").agg(*sigs)
-    return agg.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    Hash family: ONE md5 per shingle gives ``x = int(md5(g)[0:8], 16)``
+    (32-bit); ``hash_i(g) = (A_i * x + B_i) mod p`` with per-i constants and
+    p the smallest prime > 2^32 — signature element i is the MIN over the
+    doc's shingles. One md5 per shingle instead of num_hashes md5s, and every
+    product stays < 2^62 so the arithmetic is exact int64 in BOTH Spark
+    (``conv(substr(md5,..),16,10)``) and DuckDB (``('0x'||substr)::BIGINT``)
+    — the oracle stays bit-for-bit portable. The per-i constants are
+    essential: the tempting ``h_i = a + i*b`` two-hash trick makes the
+    minima CORRELATED across i (the same low-a shingle wins every slot), so
+    band collisions approach single-hash probability — measured 4.6M
+    candidate pairs vs 1.0M for this family on the same 5k docs.
+
+    Physical strategy: the whole signature is ONE narrow projection —
+    ``array_min(transform(...))`` per hash over the per-doc shingle array —
+    no explode, no shuffle, no 16-buffer hash aggregate; a doc never leaves
+    its input partition. (Rejected, measured at sf0.1: explode +
+    groupBy(doc_id).agg(16 x min) was equal-cost only because 16 md5s
+    dominated both plans; hashing the distinct-shingle dictionary +
+    broadcast-join back was 2x worse — the probe side re-runs the shingle
+    build to derive the dictionary.)
+
+    Docs whose normalized text is empty produce no shingles and are omitted
+    (same contract as the exploded form)."""
+    # normalized text materialized first — see char_shingles for why the
+    # norm expression must NOT be inlined into the transform lambda. The
+    # empty-doc guard is length(t) > 0 (equivalent to "has shingles"), NOT
+    # size(grams) > 0: a size predicate gets pushdown-inlined below the
+    # projection and rebuilds the whole per-element shingle array just to
+    # test emptiness (measured 11s of the 13s total at sf0.1).
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _norm(text_col).alias("t")
+    ).filter(F.length("t") > 0)
+    grams = F.filter(
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("t") - (shingle_n - 1), F.lit(1)),
+                ),
+                lambda i: F.col("t").substr(i, F.lit(shingle_n)),
+            )
+        ),
+        lambda g: g != "",
+    )
+    with_grams = base.select("doc_id", grams.alias("grams"))
+    xs = with_grams.select(
+        "doc_id",
+        F.transform(
+            F.transform(F.col("grams"), F.md5),
+            lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+        ).alias("xs"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("xs"),
+                    lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P),
+                )
+            )
+            for a, b in minhash_constants(num_hashes)
+        ]
+    )
+    return xs.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_buckets(
@@ -126,7 +203,7 @@ def minhash_lsh_buckets(
                                 F.col("sig"),
                                 b * (F.size("sig") / bands).cast("int") + 1,
                                 (F.size("sig") / bands).cast("int"),
-                            ),
+                            ).cast("array<string>"),
                         )
                     ).alias("bucket"),
                 ),
@@ -147,6 +224,8 @@ def minhash_lsh_candidates(
     sharing at least one LSH bucket. Verify candidates with
     ngram_jaccard_pairs on the candidate set when exact scores are needed."""
     sig = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col)
+    # no persist needed for the self-join below: the two sides are identical
+    # subplans, so the physical plan gets a ReusedExchange (measured equal)
     bk = minhash_lsh_buckets(sig, bands)
     a = bk.select(F.col("doc_id").alias("a"), "band", "bucket")
     b = bk.select(F.col("doc_id").alias("b"), "band", "bucket")

@@ -62,7 +62,9 @@ def bipartite_link_analysis(
     comparisons (the reference's priority queue has unspecified tie order,
     so any deterministic refinement is valid)."""
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from cassovary_spark.plans import choose_partitions
+
+    p = choose_partitions(spark, edges.count(), num_partitions)
 
     # subgraph restriction: only edges whose left endpoint was supplied
     e = (

@@ -39,7 +39,9 @@ def connected_components(
     """Exact weakly-connected components; returns ``(id, component)`` where
     ``component`` is the min vertex id in the component."""
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from cassovary_spark.plans import choose_partitions
+
+    p = choose_partitions(spark, edges.count(), num_partitions)
 
     # the superstep join keys on dst (gather neighbor labels), so the static
     # edge table is partitioned AND sorted by dst — SMJ then never exchanges

@@ -43,7 +43,9 @@ def hits(
     num_partitions: int | None = None,
 ) -> HitsResult:
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from cassovary_spark.plans import choose_partitions
+
+    p = choose_partitions(spark, edges.count(), num_partitions)
 
     verts = vertices_of(edges).repartition(p, "id").sortWithinPartitions("id").persist()
     n = verts.count()

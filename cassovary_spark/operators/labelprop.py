@@ -38,7 +38,9 @@ def label_propagation(
 ) -> DataFrame:
     """Deterministic synchronous LPA; returns ``(id, label)``."""
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from cassovary_spark.plans import choose_partitions
+
+    p = choose_partitions(spark, edges.count(), num_partitions)
 
     # join keys on dst each superstep -> partition+sort the static edge table
     # by dst (see components.py rationale)

@@ -76,9 +76,13 @@ def pagerank(
     results, alternative physical strategy.
     """
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-
     edges = edges.select("src", "dst")
+    # partition count scales with the edge count (capped by
+    # spark.sql.shuffle.partitions) — one cheap pre-scan buys every superstep
+    # a task count matched to the data (plans.choose_partitions)
+    from cassovary_spark.plans import choose_partitions
+
+    p = choose_partitions(spark, edges.count(), num_partitions)
     outdeg = out_degrees(edges)
 
     # vertex table with dangling flag, stationary across supersteps.

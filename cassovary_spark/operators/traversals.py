@@ -46,7 +46,9 @@ def bfs(
     expanded, matching Walk.Limits semantics (graph/Traverser.scala:96-99).
     """
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from cassovary_spark.plans import choose_partitions
+
+    p = choose_partitions(spark, edges.count(), num_partitions)
     adj = edges.select("src", "dst")
     if max_degree is not None:
         hubs = out_degrees(edges).filter(F.col("out_degree") > max_degree)
@@ -89,7 +91,9 @@ def multi_source_bfs(
     returns ``(source, id, depth)`` — one frontier join per level total, not
     per source."""
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from cassovary_spark.plans import choose_partitions
+
+    p = choose_partitions(spark, edges.count(), num_partitions)
     adj = edges.select("src", "dst").repartition(p, "src").sortWithinPartitions("src").persist()
 
     scratch = StateScratch(spark)
@@ -129,7 +133,9 @@ def all_paths_walk(
     Level frequencies: f_0 = 1 on seeds; f_{k+1}(v) = sum_{u->v} f_k(u).
     """
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from cassovary_spark.plans import choose_partitions
+
+    p = choose_partitions(spark, edges.count(), num_partitions)
     adj = edges.select("src", "dst").repartition(p, "src").sortWithinPartitions("src").persist()
 
     level = _seed_df(spark, seeds).withColumn("cnt", F.lit(1).cast("long"))
@@ -179,7 +185,9 @@ def random_walk_visits(
     including the start (total = num_walkers * (num_steps + 1)).
     """
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from cassovary_spark.plans import choose_partitions
+
+    p = choose_partitions(spark, edges.count(), num_partitions)
     adj = _adjacency_lists(edges, p).persist()
 
     homes = [int(start_nodes[i % len(start_nodes)]) for i in range(num_walkers)]
@@ -250,7 +258,9 @@ def random_walk_events(
     Returns ``(walker, step, id, prev[, path])``.
     """
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from cassovary_spark.plans import choose_partitions
+
+    p = choose_partitions(spark, edges.count(), num_partitions)
     adj = _adjacency_lists(edges, p).persist()
 
     homes = [int(start_nodes[i % len(start_nodes)]) for i in range(num_walkers)]
@@ -400,7 +410,9 @@ def personalized_pagerank(
     Returns ``(id, score)`` summing to 1 over reachable vertices.
     """
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from cassovary_spark.plans import choose_partitions
+
+    p = choose_partitions(spark, edges.count(), num_partitions)
     alpha = float(reset_prob)
     d = 1.0 - alpha
 

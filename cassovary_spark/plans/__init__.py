@@ -4,6 +4,7 @@ layout decisions Catalyst doesn't make."""
 
 from cassovary_spark.plans.layout import (
     DualOrientationEdges,
+    choose_partitions,
     salted_gather_sum,
     degree_buckets,
 )
@@ -17,6 +18,7 @@ from cassovary_spark.plans.partitioners import (
 
 __all__ = [
     "DualOrientationEdges",
+    "choose_partitions",
     "salted_gather_sum",
     "degree_buckets",
     "random_node_mapper",

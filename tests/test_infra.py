@@ -157,15 +157,11 @@ def test_oracle_queries_importable():
     # documented rows-only set stays small and intentional
     rows_only = set(qs) - set(os_)
     assert rows_only == {
-        "ev_lpa",
-        "ev_ppr",
-        "doc_lsh_candidates",
-        "doc_simhash_dups",
-        "emb_lsh_ann",
-        "multimodal_features",
-        "ev_dfs",
-        "ev_walk_visits",
-        "ev_walk_prev_nbrs",
-        "tr_turn_text",
-        "tr_pagerank5",
+        "doc_simhash_dups",  # xxhash64-based; DuckDB lacks xxhash64
+        "emb_lsh_ann",  # approximate by design
+        "ev_dfs",  # sequential DFS, not SQL-expressible
+        "ev_walk_visits",  # Spark-partition-seeded RNG
+        "ev_walk_prev_nbrs",  # same
+        "tr_turn_text",  # xxhash64 synthesis not reproducible in DuckDB
+        "tr_pagerank5",  # same
     }
