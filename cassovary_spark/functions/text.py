@@ -67,9 +67,14 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality in [0, 1]: length band, punctuation
     moderation, stopword presence, mean word length band — the standard
-    pretraining-filter features (Gopher/C4-style rules, public recipes)."""
+    pretraining-filter features (Gopher/C4-style rules, public recipes).
+
+    The token array is materialized as its own projection — inlined, the
+    split+filter would re-run for every reference (size + stopword filter;
+    HOF expressions get no codegen subexpression elimination)."""
     c = F.col(text_col)
-    toks = _tokens(c)
+    with_toks = docs.select("*", _tokens(c).alias("__toks"))
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     n_chars = F.greatest(F.length(c), F.lit(1))
     mean_word_len = n_chars / F.greatest(n_tok, F.lit(1))
@@ -83,12 +88,12 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     word_len_score = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.0)
     punct_score = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
     stop_score = F.least(stop_ratio * 4, F.lit(1.0))
-    return docs.select(
+    return with_toks.select(
         "*",
         ((len_score + word_len_score + punct_score + stop_score) / 4).alias(
             "quality"
         ),
-    )
+    ).drop("__toks")
 
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -96,16 +101,21 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     hits the most tokens wins; 'und' (undetermined) when no hits. Ties break
     by language code order (deterministic)."""
     c = F.col(text_col)
-    toks = F.transform(_tokens(c), lambda t: F.lower(t))
+    # lowered token array materialized once — inlined it would re-tokenize
+    # once per language's stopword filter (see quality_score)
+    with_toks = docs.select(
+        "*", F.transform(_tokens(c), lambda t: F.lower(t)).alias("__toks")
+    )
+    toks = F.col("__toks")
     scores = []
     for lang in sorted(_STOPWORDS):
         hits = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS[lang])))
         scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
-    return docs.select(
+    return with_toks.select(
         "*",
         F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("lang_id"),
-    )
+    ).drop("__toks")
 
 
 def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -203,3 +203,23 @@ def test_doc_fingerprint_stability(spark, docs):
             FROM '{SF}/documents.parquet' WHERE doc_id = {orig}"""
     ).fetchone()[0]
     assert fp1[orig][1] == ref
+
+
+def test_no_expensive_expression_reinlining(spark, docs):
+    """Expensive expressions (regexp, split) must appear at most once per
+    plan stage: higher-order-function lambdas are interpreted per element
+    with NO codegen subexpression elimination, so an inlined normalize
+    regexp re-executes once per array element (measured 18x slowdown on
+    minhash before the materialize-first fix), and filter pushdown happily
+    re-inlines projection aliases into predicates."""
+    from cassovary_spark.functions import language_id, quality_score
+    from cassovary_spark.functions.dedup import minhash_signatures
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # one occurrence in the t-projection + one in the pushed empty-text filter
+    assert plan(minhash_signatures(docs)).count("regexp_replace") <= 2
+    # tokenization (split) materialized once, not once per referencing expr
+    assert plan(quality_score(docs)).count("split(") <= 1
+    assert plan(language_id(docs)).count("split(") <= 1
