@@ -33,6 +33,13 @@ def _seed_df(spark, seeds, name: str = "id") -> DataFrame:
     return spark.createDataFrame([(int(s),) for s in seeds], f"{name} long")
 
 
+def _union_all(dfs) -> DataFrame:
+    """Lazy union of file-backed level frames (linear, additive stats)."""
+    from functools import reduce
+
+    return reduce(lambda a, b: a.union(b), dfs)
+
+
 def bfs(
     edges: DataFrame,
     seeds: list[int],
@@ -57,12 +64,18 @@ def bfs(
         )
     adj = adj.repartition(p, "src").sortWithinPartitions("src").persist()
 
-    # visited feeds both the anti-join and the union every level -> stats
-    # must reset per level (checkpoint.StateScratch rationale)
-    scratch = StateScratch(spark)
-    frontier = _seed_df(spark, seeds).withColumn("depth", F.lit(0))
-    visited = scratch.roundtrip(frontier)
-    frontier = visited
+    # Frontier state resets per level via parquet (StateScratch): the next
+    # frontier's plan references frontier x adj x visited, so inherited
+    # stats would multiply per level (checkpoint.materialize CAUTION).
+    # ``visited`` is the lazy UNION of the per-level files — levels are
+    # written once and never rewritten, so state writes total O(V), not
+    # O(V * depth) as a rewrite-visited-per-level loop would cost.
+    # keep_last covers every level: files must outlive the whole walk.
+    scratch = StateScratch(spark, keep_last=1_000_000_000)
+    frontier = scratch.roundtrip(_seed_df(spark, seeds).withColumn("depth", F.lit(0)))
+    levels = [frontier]
+    vbase = [frontier.select("id")]
+    visited = _union_all(vbase)
     depth = 0
     while max_depth is None or depth < max_depth:
         nxt = (
@@ -72,13 +85,21 @@ def bfs(
             .join(visited, "id", "left_anti")
             .withColumn("depth", F.lit(depth + 1))
         )
-        nxt = materialize(nxt)
-        if nxt.isEmpty():
+        nxt, n_new = scratch.roundtrip(nxt, with_count=True)
+        if n_new == 0:
             break
-        visited = scratch.roundtrip(visited.union(nxt))
+        levels.append(nxt)
+        vbase.append(nxt.select("id"))
+        # periodic compaction bounds BOTH costs: visited rewrites are
+        # O(V * depth / 8) and the per-level anti-join scans <= 9 files —
+        # a pure lazy union degrades to O(depth^2) scans on deep-narrow
+        # graphs, a rewrite-per-level to O(V * depth) writes on wide ones
+        if len(vbase) > 8:
+            vbase = [scratch.roundtrip(_union_all(vbase))]
+        visited = _union_all(vbase)
         frontier = nxt
         depth += 1
-    result = materialize(visited)
+    result = materialize(_union_all(levels))
     scratch.close()
     adj.unpersist()
     return result
@@ -96,28 +117,36 @@ def multi_source_bfs(
     p = choose_partitions(spark, edges.count(), num_partitions)
     adj = edges.select("src", "dst").repartition(p, "src").sortWithinPartitions("src").persist()
 
-    scratch = StateScratch(spark)
-    frontier = sources.select("source", F.col("source").alias("id")).withColumn(
-        "depth", F.lit(0)
+    # per-level files + lazy union (see bfs: O(V) total writes, reset stats)
+    scratch = StateScratch(spark, keep_last=1_000_000_000)
+    frontier = scratch.roundtrip(
+        sources.select("source", F.col("source").alias("id"))
+        .withColumn("depth", F.lit(0))
+        .repartition(p, "id")
     )
-    visited = scratch.roundtrip(frontier.repartition(p, "id"))
-    frontier = visited
+    levels = [frontier]
+    vbase = [frontier.select("source", "id")]
+    visited = _union_all(vbase)
     depth = 0
     while True:
         nxt = (
             frontier.join(adj, frontier.id == adj.src)
             .select("source", F.col("dst").alias("id"))
             .distinct()
-            .join(visited.select("source", "id"), ["source", "id"], "left_anti")
+            .join(visited, ["source", "id"], "left_anti")
             .withColumn("depth", F.lit(depth + 1))
         )
-        nxt = materialize(nxt.repartition(p, "id"))
-        if nxt.isEmpty():
+        nxt, n_new = scratch.roundtrip(nxt.repartition(p, "id"), with_count=True)
+        if n_new == 0:
             break
-        visited = scratch.roundtrip(visited.union(nxt))
+        levels.append(nxt)
+        vbase.append(nxt.select("source", "id"))
+        if len(vbase) > 8:  # compaction: see bfs
+            vbase = [scratch.roundtrip(_union_all(vbase))]
+        visited = _union_all(vbase)
         frontier = nxt
         depth += 1
-    result = materialize(visited)
+    result = materialize(_union_all(levels))
     scratch.close()
     adj.unpersist()
     return result
@@ -138,8 +167,10 @@ def all_paths_walk(
     p = choose_partitions(spark, edges.count(), num_partitions)
     adj = edges.select("src", "dst").repartition(p, "src").sortWithinPartitions("src").persist()
 
-    level = _seed_df(spark, seeds).withColumn("cnt", F.lit(1).cast("long"))
-    total = materialize(level)
+    # levels checkpointed once each; the total is a lazy union at the end —
+    # no per-level rewrite of the accumulated counts
+    level = materialize(_seed_df(spark, seeds).withColumn("cnt", F.lit(1).cast("long")))
+    levels = [level]
     for _ in range(max_depth):
         level = (
             level.join(adj, level.id == adj.src)
@@ -149,9 +180,9 @@ def all_paths_walk(
         level = materialize(level)
         if level.isEmpty():
             break
-        total = materialize(total.union(level))
+        levels.append(level)
     adj.unpersist()
-    return total.groupBy("id").agg(F.sum("cnt").alias("visits"))
+    return _union_all(levels).groupBy("id").agg(F.sum("cnt").alias("visits"))
 
 
 def _adjacency_lists(edges: DataFrame, p: int) -> DataFrame:
