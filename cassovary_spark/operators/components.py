@@ -62,7 +62,7 @@ def connected_components(
     scratch = StateScratch(spark)
     if labels is None:
         labels = verts.select("id", F.col("id").alias("component"))
-    labels = scratch.roundtrip(labels)
+    labels = scratch.roundtrip(labels, bucket_by="id", num_buckets=p)
 
     prev_sum = labels.agg(F.sum("component")).first()[0]
     iteration = start_iter
@@ -99,7 +99,8 @@ def connected_components(
         new_labels = scratch.roundtrip(
             new_labels.repartition(p, "id").observe(
                 obs, F.sum("component").alias("s")
-            )
+            ),
+            bucket_by="id", num_buckets=p,
         )
         iteration += 1
 

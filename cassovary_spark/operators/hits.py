@@ -64,7 +64,8 @@ def hits(
     state = scratch.roundtrip(
         verts.select(
             "id", F.lit(1.0 / n).alias("hub"), F.lit(0.0).alias("authority")
-        )
+        ),
+        bucket_by="id", num_buckets=p,
     )
     error = 100.0 + tolerance
     iteration = 0
@@ -110,7 +111,8 @@ def hits(
         joined = scratch.roundtrip(
             joined.observe(
                 obs_max, F.max("h_raw").alias("hmax"), F.max("a_raw").alias("amax")
-            )
+            ),
+            bucket_by="id", num_buckets=p,
         )
         maxes = obs_max.get
         hmax = maxes["hmax"] if (maxes["hmax"] or 0) > 0 else 1.0
@@ -129,7 +131,8 @@ def hits(
                 obs_err,
                 F.sum(F.abs(F.col("prev_hub") - F.col("hub"))).alias("e"),
             )
-            .drop("prev_hub")
+            .drop("prev_hub"),
+            bucket_by="id", num_buckets=p,
         )
         error = obs_err.get["e"]
         iteration += 1

@@ -60,7 +60,7 @@ def label_propagation(
     scratch = StateScratch(spark)
     if labels is None:
         labels = verts.select("id", F.col("id").alias("label"))
-    labels = scratch.roundtrip(labels)
+    labels = scratch.roundtrip(labels, bucket_by="id", num_buckets=p)
 
     top1 = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
 
@@ -94,7 +94,8 @@ def label_propagation(
                     F.when(F.col("prev") != F.col("label"), 1).otherwise(0)
                 ).alias("changed"),
             )
-            .drop("prev")
+            .drop("prev"),
+            bucket_by="id", num_buckets=p,
         )
         iteration += 1
 

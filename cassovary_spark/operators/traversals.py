@@ -473,7 +473,8 @@ def personalized_pagerank(
 
     scratch = StateScratch(spark)
     ranks = scratch.roundtrip(
-        verts_s.select("id", F.col("seed_mass").alias("score"), "is_dangling", "seed_mass")
+        verts_s.select("id", F.col("seed_mass").alias("score"), "is_dangling", "seed_mass"),
+        bucket_by="id", num_buckets=p,
     )
     # initial dangling mass (one scan); afterwards collected by observe
     # during each state write — one job per superstep total
@@ -508,7 +509,8 @@ def personalized_pagerank(
                 obs,
                 F.sum(F.abs(F.col("prev") - F.col("score"))).alias("e"),
                 F.sum(F.when(F.col("is_dangling"), F.col("score"))).alias("d"),
-            ).drop("prev")
+            ).drop("prev"),
+            bucket_by="id", num_buckets=p,
         )
         stats = obs.get
         err = stats["e"]
