@@ -279,6 +279,63 @@ def _lpa_sql(edges_sql: str, iters: int) -> str:
 
 
 _DOC_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """SimHash near-dup pairs as pure SQL (functions/dedup.py simhash
+    semantics: md5-derived 64-bit token hash as lo | hi<<32, term-frequency
+    +1/-1 bit votes, 4 x 16-bit chunk pigeonhole candidates, exact hamming
+    verify). Mechanically generated 64-bit-vote CTEs."""
+    va = ",\n  ".join(
+        f"sum(CASE WHEN ((lo >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32)
+    )
+    vb = ",\n  ".join(
+        f"sum(CASE WHEN ((hi >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{32 + j}"
+        for j in range(32)
+    )
+    bits = ",\n  ".join(f"(v{j} > 0)::INT AS b{j}" for j in range(64))
+    chunks = ",\n  ".join(
+        "(" + " + ".join(f"b{16 * c + k} * {1 << k}" for k in range(16)) + f") AS c{c}"
+        for c in range(4)
+    )
+    ham = " + ".join(f"(x.b{j} <> y.b{j})::INT" for j in range(64))
+    return f"""
+WITH norm AS (SELECT doc_id, {_DOC_NORM} AS t FROM documents),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS tk
+  FROM norm
+),
+hx AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tk), 1, 8))::BIGINT AS lo,
+         ('0x' || substr(md5(tk), 9, 8))::BIGINT AS hi
+  FROM tok
+),
+votes AS (SELECT doc_id,
+  {va},
+  {vb}
+FROM hx GROUP BY doc_id),
+bits AS (SELECT doc_id,
+  {bits}
+FROM votes),
+chun AS (SELECT doc_id,
+  {chunks}
+FROM bits),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM chun x JOIN chun y
+    ON x.doc_id < y.doc_id
+   AND (x.c0 = y.c0 OR x.c1 = y.c1 OR x.c2 = y.c2 OR x.c3 = y.c3)
+),
+scored AS (
+  SELECT cand.a, cand.b, ({ham}) AS hamming
+  FROM cand
+  JOIN bits x ON x.doc_id = cand.a
+  JOIN bits y ON y.doc_id = cand.b
+)
+SELECT a, b, hamming FROM scored WHERE hamming <= {max_hamming}"""
 _DOC_TOKENS = (
     "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 )
@@ -451,7 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_doc_lsh_pairs(spark, sf):
         return minhash_lsh_candidates(docs(spark, sf), num_hashes=16, bands=4)
 
-    def q_doc_simhash_dups(spark, sf):  # rows-only
+    def q_doc_simhash_dups(spark, sf):
         return simhash_near_dups(docs(spark, sf), max_hamming=3)
 
     def q_doc_ngram_dups(spark, sf):
@@ -772,6 +829,7 @@ buckets AS (
 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM buckets x JOIN buckets y
   ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""",
+        "doc_simhash_dups": _simhash_pairs_sql(max_hamming=3),
         "multimodal_features": """
 SELECT doc_id::BIGINT AS media_id,
        COALESCE(octet_length(encode(text)), 0)::BIGINT AS n_bytes

@@ -247,10 +247,18 @@ def simhash(
 
     Per token, a 64-bit hash votes +1/-1 on each bit position weighted by
     term frequency; the sign vector packs into one long. JVM-side only:
-    explode tokens -> xxhash64 -> per-bit aggregate via bitwise ops."""
+    explode tokens -> hash -> per-bit aggregate via bitwise ops.
+
+    The 64-bit token hash is md5-derived (two 32-bit hex chunks recombined
+    as ``lo | hi << 32``), NOT xxhash64: md5 is the one hash both Spark and
+    DuckDB implement identically, which makes the near-dup pair query fully
+    value-oracle-checkable (same policy as minhash_signatures)."""
     toks = F.filter(F.split(_norm(text_col), " "), lambda t: t != "")
     tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("t"))
-    h = tok.select("doc_id", F.xxhash64("t").alias("h"))
+    hx = F.md5("t")
+    lo = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    hi = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    h = tok.select("doc_id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"))
     bit_votes = [
         F.sum(
             F.when(
