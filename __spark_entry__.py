@@ -281,6 +281,54 @@ def _lpa_sql(edges_sql: str, iters: int) -> str:
 _DOC_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
 
 
+def _lsh_ann_sql(
+    dim: int = 64,
+    k: int = 3,
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+    seed: int = 42,
+) -> str:
+    """Multi-table hyperplane-LSH ANN as SQL (functions/embeddings.py
+    lsh_bucketed_ann semantics). The hyperplanes come from the SAME
+    pure-Python generator the Spark plan bakes in as literals, so the
+    'approximate' index is deterministic and value-oracle-checkable."""
+    from cassovary_spark.functions.embeddings import _hyperplanes
+
+    table_selects = []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, planes_per_table, seed + 7919 * t)
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(e, {plane!r}::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        table_selects.append(
+            f"SELECT v, e, nrm, {t} AS t, ({bucket}) AS bucket FROM n"
+        )
+    sig_sql = "\nUNION ALL\n".join(table_selects)
+    return f"""
+WITH b AS (SELECT vec_id AS v, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT v, e, sqrt(list_dot_product(e, e)) AS nrm FROM b),
+sig AS (
+{sig_sql}
+),
+cand AS (
+  SELECT DISTINCT x.v AS q, y.v AS v
+  FROM sig x JOIN sig y ON x.t = y.t AND x.bucket = y.bucket AND x.v <> y.v
+),
+scored AS (
+  SELECT cand.q, cand.v,
+         list_dot_product(nq.e, nv.e) / (nq.nrm * nv.nrm) AS score
+  FROM cand JOIN n nq ON nq.v = cand.q JOIN n nv ON nv.v = cand.v
+),
+ranked AS (
+  SELECT q, v, score,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, v ASC) AS rn
+  FROM scored
+)
+SELECT q, v, ROUND(score, 6) AS score, rn::INT AS rn FROM ranked WHERE rn <= {k}"""
+
+
 def _simhash_pairs_sql(max_hamming: int = 3) -> str:
     """SimHash near-dup pairs as pure SQL (functions/dedup.py simhash
     semantics: md5-derived 64-bit token hash as lo | hi<<32, term-frequency
@@ -532,10 +580,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a", "b", F.round("score", 6).alias("score")
         )
 
-    def q_emb_lsh_ann(spark, sf):  # rows-only (approximate by design)
+    def q_emb_lsh_ann(spark, sf):
+        # approximate-by-DESIGN but fully deterministic: hyperplanes are
+        # pure-Python constants shared with the SQL oracle generator
         e = emb(spark, sf)
         dim = len(e.select("embedding").first()[0])
-        return lsh_bucketed_ann(e, dim=dim, k=3)
+        return lsh_bucketed_ann(e, dim=dim, k=3).select(
+            "q", "v", F.round("score", 6).alias("score"), "rn"
+        )
 
     def q_multimodal(spark, sf):
         media = with_binary_payload(docs(spark, sf), "doc_id", "text", "image")
@@ -830,6 +882,7 @@ SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM buckets x JOIN buckets y
   ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""",
         "doc_simhash_dups": _simhash_pairs_sql(max_hamming=3),
+        "emb_lsh_ann": _lsh_ann_sql(dim=64, k=3),
         "multimodal_features": """
 SELECT doc_id::BIGINT AS media_id,
        COALESCE(octet_length(encode(text)), 0)::BIGINT AS n_bytes

@@ -157,7 +157,6 @@ def test_oracle_queries_importable():
     # documented rows-only set stays small and intentional
     rows_only = set(qs) - set(os_)
     assert rows_only == {
-        "emb_lsh_ann",  # approximate by design
         "ev_dfs",  # sequential DFS, not SQL-expressible
         "ev_walk_visits",  # Spark-partition-seeded RNG
         "ev_walk_prev_nbrs",  # same
