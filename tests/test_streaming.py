@@ -51,3 +51,51 @@ def test_stream_edges_match_batch(spark, tmp_path, split_turn):
     }
     t.unpersist()
     assert got == batch_edges
+
+def test_stream_deltas_resolve_through_dynamic_graph(spark, tmp_path):
+    """The §2.10 pipeline stitched end-to-end: the streaming operator's edge
+    deltas append onto the batch edge table via DynamicGraph's last-writer-
+    wins resolve, and the resolved view equals the full batch derivation."""
+    import os
+
+    from cassovary_spark.dynamic import DynamicGraph
+
+    t = synth_transcripts(spark, n_convs=10, seed=5).persist()
+    full = {(r["src"], r["dst"]) for r in turn_edges(t).collect()}
+
+    # batch half: the edge table as of the first two turns per conversation
+    prefix = t.filter(F.col("turn_idx") < 2)
+    base = turn_edges(prefix).persist()
+    base_set = {(r["src"], r["dst"]) for r in base.collect()}
+
+    # streaming half: all turns flow through; the NEW edges (state-crossing
+    # included) are the delta log appended to the base table
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    prefix.coalesce(1).write.parquet(f"{src_dir}/b0")
+    t.filter(F.col("turn_idx") >= 2).coalesce(1).write.parquet(f"{src_dir}/b1")
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/b*")
+    )
+    q = (
+        stream_turn_edges(stream)
+        .writeStream.format("memory")
+        .queryName("delta_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["src"], r["dst"]) for r in spark.table("delta_sink").collect()
+    }
+    deltas = sorted(streamed - base_set)
+
+    dg = DynamicGraph(base=base).add_edges(deltas)
+    resolved = {(r["src"], r["dst"]) for r in dg.current_edges().collect()}
+    t.unpersist()
+    base.unpersist()
+    assert resolved == full
