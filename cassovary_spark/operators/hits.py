@@ -45,7 +45,7 @@ def hits(
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
 
-    p = choose_partitions(spark, edges.count(), num_partitions)
+    p = num_partitions or choose_partitions(spark, edges.count())
 
     verts = vertices_of(edges).repartition(p, "id").sortWithinPartitions("id").persist()
     n = verts.count()
