@@ -219,14 +219,33 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH: candidate near-dup pairs ``(a, b)`` (a < b)
     sharing at least one LSH bucket. Verify candidates with
-    ngram_jaccard_pairs on the candidate set when exact scores are needed."""
+    ngram_jaccard_pairs on the candidate set when exact scores are needed.
+
+    ``max_bucket_size`` is the HOT-BUCKET CAP, mandatory at corpus scale:
+    template/boilerplate-heavy corpora (agent transcripts are the canonical
+    case — measured: a 3.4M-doc transcript corpus whose texts share a 24-char
+    scaffold drives band-Jaccard to ~0.5 and the uncapped candidate join
+    toward ~10^12 pairs) concentrate most docs into a few mega-buckets whose
+    |bucket|^2 join can never finish. Buckets above the cap are dropped —
+    their members are template-collisions, the job of exact_dedup or a
+    shingle-IDF filter, not pairwise LSH. None = exact (no cap), the
+    SQL-oracle-checked configuration."""
     sig = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col)
     # no persist needed for the self-join below: the two sides are identical
     # subplans, so the physical plan gets a ReusedExchange (measured equal)
     bk = minhash_lsh_buckets(sig, bands)
+    if max_bucket_size is not None:
+        small = (
+            bk.groupBy("band", "bucket")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        bk = bk.join(small, ["band", "bucket"])
     a = bk.select(F.col("doc_id").alias("a"), "band", "bucket")
     b = bk.select(F.col("doc_id").alias("b"), "band", "bucket")
     return (
