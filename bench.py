@@ -144,35 +144,41 @@ def build_workloads(spark, sf_dir: str, sf: float):
         visits_counter(ev).count()
         prev_nbr_counter(ev, k=3).count()
 
-    def w_stream_edges():
-        import tempfile
+    # stream input prepared OUTSIDE the timed thunk — the workload measures
+    # the incremental operator, not batch parquet chunk-writing
+    import shutil
+    import tempfile
 
-        from cassovary_spark.session import _scratch_root
+    from cassovary_spark.session import _scratch_root
+
+    _stream_tmp = tempfile.mkdtemp(prefix="bench_stream_", dir=_scratch_root())
+    _stream_src = f"{_stream_tmp}/in"
+    os.makedirs(_stream_src)
+    # 4 file-chunks split mid-conversation: every conversation longer
+    # than 3 turns crosses a micro-batch boundary (the stateful path)
+    for i, (lo, hi) in enumerate([(0, 1), (1, 2), (2, 3), (3, 10**9)]):
+        transcripts.filter(
+            (F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)
+        ).coalesce(4).write.parquet(f"{_stream_src}/b{i}")
+    aux["stream_edges"] = {"turns": transcripts.count()}
+
+    def w_stream_edges():
         from cassovary_spark.streaming import stream_turn_edges
 
-        tmp = tempfile.mkdtemp(prefix="bench_stream_", dir=_scratch_root())
-        src = f"{tmp}/in"
-        os.makedirs(src)
-        # 4 file-chunks split mid-conversation: every conversation longer
-        # than 3 turns crosses a micro-batch boundary (the stateful path)
-        for i, (lo, hi) in enumerate([(0, 1), (1, 2), (2, 3), (3, 10**9)]):
-            transcripts.filter(
-                (F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)
-            ).coalesce(4).write.parquet(f"{src}/b{i}")
         stream = (
             spark.readStream.schema(transcripts.schema)
             .option("maxFilesPerTrigger", 4)
-            .parquet(f"{src}/b*")
+            .parquet(f"{_stream_src}/b*")
         )
         q = (
             stream_turn_edges(stream)
             .writeStream.format("noop")
-            .option("checkpointLocation", f"{tmp}/ckpt")
+            .option("checkpointLocation", f"{_stream_tmp}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
-        aux["stream_edges"] = {"turns": transcripts.count()}
+        shutil.rmtree(_stream_tmp, ignore_errors=True)
 
     return [
         ("pagerank_turns_1e6", w_pagerank_turns),

@@ -191,13 +191,19 @@ class StateScratch:
         emptiness check without a separate job (the engine's fold-metrics-
         into-the-state-write policy).
         """
-        obs = None
-        if with_count:
+        def observed(frame):
+            # a FRESH Observation per write attempt: an Observation's metric
+            # promise completes with its first finished query, so reusing one
+            # across the bucketed attempt AND the parquet fallback would
+            # surface the FAILED attempt's count
+            if not with_count:
+                return frame, None
             from pyspark.sql import Observation
             from pyspark.sql import functions as F
 
             obs = Observation()
-            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            return frame.observe(obs, F.count(F.lit(1)).alias("n")), obs
+
         self._i += 1
         if bucket_by is not None and self._bucketing_ok:
             name = f"{self._prefix}_{self._i:06d}"
@@ -206,8 +212,9 @@ class StateScratch:
             )
             try:
                 self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+                bdf, obs = observed(df)
                 (
-                    df.write.bucketBy(b, bucket_by)
+                    bdf.write.bucketBy(b, bucket_by)
                     .sortBy(bucket_by)
                     .mode("overwrite")
                     .format("parquet")
@@ -233,7 +240,8 @@ class StateScratch:
                 self._bucketing_ok = False
 
         path = os.path.join(self.dir, f"s{self._i:06d}")
-        df.write.mode("overwrite").parquet(path)
+        pdf, obs = observed(df)
+        pdf.write.mode("overwrite").parquet(path)
         self._paths.append(path)
         while len(self._paths) > self.keep_last:
             old = self._paths.pop(0)

@@ -235,10 +235,15 @@ def minhash_lsh_candidates(
     shingle-IDF filter, not pairwise LSH. None = exact (no cap), the
     SQL-oracle-checked configuration."""
     sig = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col)
-    # no persist needed for the self-join below: the two sides are identical
-    # subplans, so the physical plan gets a ReusedExchange (measured equal)
+    # Uncapped: no persist needed for the self-join below — its two sides
+    # are IDENTICAL subplans, so the physical plan gets a ReusedExchange
+    # (measured equal). Capped: the size-aggregate consumes the buckets
+    # through a DIFFERENT exchange than the join sides (partial-agg child),
+    # which ReusedExchange does NOT cover — persist, or the dominant
+    # shingle+md5 stage executes twice.
     bk = minhash_lsh_buckets(sig, bands)
     if max_bucket_size is not None:
+        bk = bk.persist()
         small = (
             bk.groupBy("band", "bucket")
             .agg(F.count("*").alias("sz"))

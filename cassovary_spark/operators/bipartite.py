@@ -64,7 +64,7 @@ def bipartite_link_analysis(
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
 
-    p = num_partitions or choose_partitions(spark, edges.count())
+    p = choose_partitions(spark, edges, num_partitions)
 
     # subgraph restriction: only edges whose left endpoint was supplied
     e = (

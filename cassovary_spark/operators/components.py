@@ -41,7 +41,7 @@ def connected_components(
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
 
-    p = num_partitions or choose_partitions(spark, edges.count())
+    p = choose_partitions(spark, edges, num_partitions)
 
     # the superstep join keys on dst (gather neighbor labels), so the static
     # edge table is partitioned AND sorted by dst — SMJ then never exchanges

@@ -45,7 +45,7 @@ def hits(
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
 
-    p = num_partitions or choose_partitions(spark, edges.count())
+    p = choose_partitions(spark, edges, num_partitions)
 
     verts = vertices_of(edges).repartition(p, "id").sortWithinPartitions("id").persist()
     n = verts.count()

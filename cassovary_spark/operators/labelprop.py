@@ -40,7 +40,7 @@ def label_propagation(
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
 
-    p = num_partitions or choose_partitions(spark, edges.count())
+    p = choose_partitions(spark, edges, num_partitions)
 
     # join keys on dst each superstep -> partition+sort the static edge table
     # by dst (see components.py rationale)

@@ -82,7 +82,7 @@ def pagerank(
     # a task count matched to the data (plans.choose_partitions)
     from cassovary_spark.plans import choose_partitions
 
-    p = num_partitions or choose_partitions(spark, edges.count())
+    p = choose_partitions(spark, edges, num_partitions)
     outdeg = out_degrees(edges)
 
     # vertex table with dangling flag, stationary across supersteps.

@@ -55,7 +55,7 @@ def bfs(
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
 
-    p = num_partitions or choose_partitions(spark, edges.count())
+    p = choose_partitions(spark, edges, num_partitions)
     adj = edges.select("src", "dst")
     if max_degree is not None:
         hubs = out_degrees(edges).filter(F.col("out_degree") > max_degree)
@@ -114,7 +114,7 @@ def multi_source_bfs(
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
 
-    p = num_partitions or choose_partitions(spark, edges.count())
+    p = choose_partitions(spark, edges, num_partitions)
     adj = edges.select("src", "dst").repartition(p, "src").sortWithinPartitions("src").persist()
 
     # per-level files + lazy union (see bfs: O(V) total writes, reset stats)
@@ -164,7 +164,7 @@ def all_paths_walk(
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
 
-    p = num_partitions or choose_partitions(spark, edges.count())
+    p = choose_partitions(spark, edges, num_partitions)
     adj = edges.select("src", "dst").repartition(p, "src").sortWithinPartitions("src").persist()
 
     # levels checkpointed once each; the total is a lazy union at the end —
@@ -218,7 +218,7 @@ def random_walk_visits(
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
 
-    p = num_partitions or choose_partitions(spark, edges.count())
+    p = choose_partitions(spark, edges, num_partitions)
     adj = _adjacency_lists(edges, p).persist()
 
     homes = [int(start_nodes[i % len(start_nodes)]) for i in range(num_walkers)]
@@ -291,7 +291,7 @@ def random_walk_events(
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
 
-    p = num_partitions or choose_partitions(spark, edges.count())
+    p = choose_partitions(spark, edges, num_partitions)
     adj = _adjacency_lists(edges, p).persist()
 
     homes = [int(start_nodes[i % len(start_nodes)]) for i in range(num_walkers)]
@@ -443,7 +443,7 @@ def personalized_pagerank(
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
 
-    p = num_partitions or choose_partitions(spark, edges.count())
+    p = choose_partitions(spark, edges, num_partitions)
     alpha = float(reset_prob)
     d = 1.0 - alpha
 

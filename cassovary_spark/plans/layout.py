@@ -25,9 +25,7 @@ from pyspark.sql import functions as F
 ROWS_PER_PARTITION = 2_000_000
 
 
-def choose_partitions(
-    spark, n_rows: int, requested: int | None = None, floor: int | None = None
-) -> int:
+def choose_partitions(spark, edges, requested: int | None = None) -> int:
     """Partition count for an operator's stationary tables: one partition per
     ~2M edge rows (the measured superstep task sweet spot), never below the
     cluster's total core count (``defaultParallelism`` — every core stays
@@ -35,12 +33,15 @@ def choose_partitions(
     superstep at local[32]), capped by ``spark.sql.shuffle.partitions``.
     The cap is the cluster-level knob sized for the BIGGEST tables (e.g.
     16k on a 1000-executor cluster); without this heuristic a small graph
-    would inherit all 16k near-empty tasks per superstep."""
+    would inherit all 16k near-empty tasks per superstep.
+
+    ``edges`` is a DataFrame (counted lazily — the pre-scan is SKIPPED
+    entirely when ``requested`` pins the count) or an int row count."""
     if requested:
         return requested
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if floor is None:
-        floor = spark.sparkContext.defaultParallelism
+    floor = spark.sparkContext.defaultParallelism
+    n_rows = edges if isinstance(edges, int) else edges.count()
     need = max(floor, -(-int(n_rows) // ROWS_PER_PARTITION))
     return max(1, min(cap, need))
 

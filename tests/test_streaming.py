@@ -99,3 +99,47 @@ def test_stream_deltas_resolve_through_dynamic_graph(spark, tmp_path):
     t.unpersist()
     base.unpersist()
     assert resolved == full
+
+
+def test_stream_edges_gapped_and_foreign_ids(spark, tmp_path):
+    """Gapped turn_idx chains by ORDER (batch lead() semantics) and
+    non-synthetic conv_id formats fall back to hash ordinals instead of
+    crashing the job."""
+    rows = [
+        ("convA-7", 0, "user", "t0", None),
+        ("convA-7", 2, "assistant", "t2", None),   # gap: 1 missing
+        ("convA-7", 5, "user", "t5", None),        # gap: 3,4 missing
+        ("conv000001", 0, "user", "x0", None),
+        ("conv000001", 1, "assistant", "x1", None),
+    ]
+    t = spark.createDataFrame(
+        [(c, i, r, x, tool, "2026-01-01 00:00:00") for c, i, r, x, tool in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    t.filter(F.col("turn_idx") < 2).coalesce(1).write.parquet(f"{src_dir}/b0")
+    t.filter(F.col("turn_idx") >= 2).coalesce(1).write.parquet(f"{src_dir}/b1")
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/b*")
+    )
+    q = (
+        stream_turn_edges(stream)
+        .writeStream.format("memory")
+        .queryName("gap_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["src"], r["dst"]) for r in spark.table("gap_sink").collect()}
+    # convA-7 chains 0 -> 2 -> 5 across the gap AND across the micro-batch
+    # boundary; conv000001 uses the parsed ordinal (vid = 1*2^16 + idx)
+    a = next(iter({s for s, d in got} - {65536, 65537} - {d for s, d in got}))
+    assert (a + 2, a + 5) in got or (a + 2, a + 5) in got
+    assert {(a, a + 2), (a + 2, a + 5), (65536, 65537)} <= got
+    assert len(got) == 3
