@@ -17,6 +17,7 @@ base absorbs edits at the cost of the edits alone.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -29,18 +30,16 @@ class DynamicGraph:
 
     base: DataFrame
     _deltas: list[tuple[int, int, int]] = field(default_factory=list)
-    _seq: int = 0
 
     def add_edge(self, src: int, dst: int) -> "DynamicGraph":
         """addEdge (ArrayBasedDynamicDirectedGraph.scala:143-160; de-dup
-        semantics — a duplicate add is a no-op in current_edges)."""
-        self._seq += 1
+        semantics — a duplicate add is a no-op in current_edges). Mutation
+        order IS the last-writer-wins sequence (delta_df enumerates)."""
         self._deltas.append((int(src), int(dst), 1))
         return self
 
     def remove_edge(self, src: int, dst: int) -> "DynamicGraph":
         """removeEdge (:162-196). Removing an absent edge is a no-op."""
-        self._seq += 1
         self._deltas.append((int(src), int(dst), -1))
         return self
 
@@ -84,8 +83,23 @@ class DynamicGraph:
         )
 
     def compact(self, path: str) -> "DynamicGraph":
-        """Fold the log into a new base snapshot at ``path`` (the Iceberg
-        snapshot-commit analog) and reset the log."""
-        self.current_edges().write.mode("overwrite").parquet(path)
+        """Fold the log into a new base snapshot under ``path`` (the Iceberg
+        snapshot-commit analog) and reset the log.
+
+        Each compaction writes a NEW ``snapshot=N`` subdirectory — writing
+        over the directory the current base is being read from would raise
+        Spark's cannot-overwrite-a-path-being-read-from error on the second
+        compact, and snapshot dirs preserve time-travel (old snapshots stay
+        readable until pruned)."""
+        existing = []
+        if os.path.isdir(path):
+            for d in os.listdir(path):
+                if d.startswith("snapshot="):
+                    try:
+                        existing.append(int(d.split("=", 1)[1]))
+                    except ValueError:
+                        pass
+        snap = os.path.join(path, f"snapshot={max(existing, default=-1) + 1}")
+        self.current_edges().write.mode("errorifexists").parquet(snap)
         spark = self.base.sparkSession
-        return DynamicGraph(spark.read.parquet(path))
+        return DynamicGraph(spark.read.parquet(snap))

@@ -152,8 +152,13 @@ def densify_ids(df: DataFrame, id_col: str) -> DataFrame:
 def edges_from_external(
     edges: DataFrame, dictionary: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
-    """Encode external-id edges through the dictionary (broadcast joins)."""
+    """Encode external-id edges through the dictionary (broadcast joins).
+
+    Edges are projected to the two key columns first — an extra caller
+    column named ``id`` would otherwise collide with the dictionary's and
+    make the rename ambiguous."""
     d = F.broadcast(dictionary)
+    edges = edges.select(src, dst)
     return (
         edges.join(d.withColumnRenamed("external_id", src), src)
         .withColumnRenamed("id", "_src_id")

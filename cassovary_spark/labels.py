@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 _TYPES = {"int": "int", "long": "long", "string": "string", "double": "double",
           "float": "float", "bool": "boolean", "boolean": "boolean"}
 
-_FNAME = re.compile(r"^nodelabels_(?P<coll>[^_]+)_(?P<name>[^_]+)_(?P<typ>[^.]+)\.txt(\.gz)?$")
+# name is GREEDY (may contain underscores, e.g. page_rank); collection may
+# not (validated at write time); type is the last _-segment before .txt
+_FNAME = re.compile(
+    r"^nodelabels_(?P<coll>[^_]+)_(?P<name>.+)_(?P<typ>[^_.]+)\.txt(\.gz)?$"
+)
 
 
 def read_label_file(
@@ -68,7 +72,15 @@ def read_labels(
 
 
 def write_labels(labels: DataFrame, directory: str, collection: str) -> None:
-    """Inverse of read_labels: one text file tree per non-id column."""
+    """Inverse of read_labels: one text file tree per non-id column.
+
+    ``collection`` must not contain '_' (the filename field separator);
+    label names MAY (the reader's name field is greedy)."""
+    if "_" in collection:
+        raise ValueError(
+            f"collection {collection!r} must not contain '_' "
+            "(filename field separator; label names may)"
+        )
     for field in labels.schema.fields:
         if field.name == "id":
             continue

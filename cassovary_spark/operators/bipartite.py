@@ -27,13 +27,9 @@ from pyspark.sql import functions as F
 from cassovary_spark.checkpoint import StateScratch
 
 
-def _ranked_list(col: str):
-    """rank-ordered list aggregation: ``collect_list`` after a window does
-    NOT guarantee window order (observed reordering at sf0.01) — collect
-    (rn, value) structs, sort by rn, project the value."""
-    return F.transform(
-        F.sort_array(F.collect_list(F.struct("rn", col))), lambda s: s[col]
-    )
+# shared workaround for window-order-unstable collect_list (observed
+# reordering at sf0.01) — single definition lives in tourists
+from cassovary_spark.operators.tourists import _ranked_list  # noqa: E402
 
 
 @dataclass

@@ -30,7 +30,10 @@ from cassovary_spark.graph import out_degrees, vertices_of
 
 
 def _seed_df(spark, seeds, name: str = "id") -> DataFrame:
-    return spark.createDataFrame([(int(s),) for s in seeds], f"{name} long")
+    # de-duplicated: a repeated seed must not yield duplicate frontier rows
+    # (bfs output is one (id, depth) per id) or double PPR seed mass
+    uniq = sorted({int(s) for s in seeds})
+    return spark.createDataFrame([(s,) for s in uniq], f"{name} long")
 
 
 def _union_all(dfs) -> DataFrame:
@@ -121,6 +124,7 @@ def multi_source_bfs(
     scratch = StateScratch(spark, keep_last=1_000_000_000)
     frontier = scratch.roundtrip(
         sources.select("source", F.col("source").alias("id"))
+        .dropDuplicates(["source"])
         .withColumn("depth", F.lit(0))
         .repartition(p, "id")
     )
@@ -215,6 +219,8 @@ def random_walk_visits(
     no Python in the loop. Returns ``(id, visits)`` counting every position
     including the start (total = num_walkers * (num_steps + 1)).
     """
+    if not start_nodes:
+        raise ValueError("start_nodes must be non-empty")
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
 
@@ -288,6 +294,8 @@ def random_walk_events(
 
     Returns ``(walker, step, id, prev[, path])``.
     """
+    if not start_nodes:
+        raise ValueError("start_nodes must be non-empty")
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
 
@@ -440,6 +448,8 @@ def personalized_pagerank(
           + (1-reset_prob) * (gather + dangling mass redistributed to seeds).
     Returns ``(id, score)`` summing to 1 over reachable vertices.
     """
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
 
@@ -456,8 +466,11 @@ def personalized_pagerank(
         .sortWithinPartitions("id")
         .persist()
     )
+    # mass divides over UNIQUE seeds (matching _seed_df's dedupe) so the
+    # initial distribution always sums to 1
+    n_seeds = len({int(s) for s in seeds})
     seed_df = _seed_df(spark, seeds).withColumn(
-        "seed_mass", F.lit(1.0 / len(seeds))
+        "seed_mass", F.lit(1.0 / n_seeds)
     )
     verts_s = verts.join(seed_df, "id", "left").select(
         "id", "is_dangling", F.coalesce("seed_mass", F.lit(0.0)).alias("seed_mass")

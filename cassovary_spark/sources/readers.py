@@ -22,17 +22,25 @@ from pyspark.sql import functions as F
 def read_edge_list(
     spark: SparkSession,
     path: str,
-    sep: str = r"\s+",
+    sep: str | None = None,
     remove_duplicates: bool = False,
     comment_prefix: str = "#",
 ) -> DataFrame:
-    """Edge-per-line reader -> ``edges(src, dst)``."""
+    """Edge-per-line reader -> ``edges(src, dst)``.
+
+    ``sep`` is a LITERAL separator (regex-escaped — '|' splits on pipe, not
+    on every character; ListOfEdgesGraphReader.scala's separator is a plain
+    char too); None = any whitespace run. Comment detection trims first, so
+    indented comment lines don't become (null, null) edges."""
+    import re
+
     lines = spark.read.text(path)
-    parts = F.split(F.trim(F.col("value")), sep)
+    pattern = r"\s+" if sep is None else re.escape(sep)
+    parts = F.split(F.trim(F.col("value")), pattern)
     edges = (
         lines.filter(
             (F.length(F.trim("value")) > 0)
-            & (~F.col("value").startswith(comment_prefix))
+            & (~F.trim(F.col("value")).startswith(comment_prefix))
         )
         .select(
             parts.getItem(0).cast("long").alias("src"),

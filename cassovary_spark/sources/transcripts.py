@@ -121,18 +121,28 @@ def turn_vertex_id(conv_ord_col, turn_idx_col):
     return (conv_ord_col.cast("long") * F.lit(65536) + turn_idx_col.cast("long"))
 
 
-def turn_vertex_ids(transcripts: DataFrame) -> DataFrame:
-    """``(conv_id, turn_idx, vid)`` vertex dictionary for turn vertices.
+def conv_ordinal(conv_id_col) -> "F.Column":
+    """Computable conversation ordinal for vertex-id derivation.
 
-    conv ordinal = dense rank of conv_id (deterministic by sort order).
-    For synthetic conv_ids of the form convNNNNNN the ordinal is parsed
-    directly (no global sort) — the fast path the synthesizer guarantees.
-    """
-    parsed = F.regexp_extract("conv_id", r"^conv(\d+)$", 1)
+    Synthetic ``convNNNNNN`` ids parse directly (the fast path the
+    synthesizer guarantees — no global sort); ANY OTHER id format falls back
+    to a deterministic 45-bit xxhash64 ordinal, so real-world conv_ids
+    (UUIDs etc.) never produce null vertex ids or silently empty edge sets.
+    Hash-ordinal collision probability is ~n^2/2^46; where exact dense ids
+    are required, densify through ``graph.densify_ids`` instead.
+    ``try_cast``: regexp_extract yields '' on no-match, which ANSI cast
+    rejects. Shared by batch AND streaming derivations (streaming/ingest.py)
+    so the two stay exact-match."""
+    parsed = F.regexp_extract(conv_id_col, r"^conv(\d+)$", 1).try_cast("long")
+    return F.coalesce(parsed, F.pmod(F.xxhash64(conv_id_col), F.lit(1 << 45)))
+
+
+def turn_vertex_ids(transcripts: DataFrame) -> DataFrame:
+    """``(conv_id, turn_idx, vid)`` vertex dictionary for turn vertices."""
     return transcripts.select(
         "conv_id",
         "turn_idx",
-        turn_vertex_id(parsed.cast("long"), F.col("turn_idx")).alias("vid"),
+        turn_vertex_id(conv_ordinal(F.col("conv_id")), F.col("turn_idx")).alias("vid"),
     )
 
 
@@ -143,11 +153,10 @@ def turn_edges(transcripts: DataFrame) -> DataFrame:
     NodeIdEdgesMaxId ingest records (graph/ArrayBasedDirectedGraph.scala:27-32).
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    parsed = F.regexp_extract("conv_id", r"^conv(\d+)$", 1).cast("long")
     with_vid = transcripts.select(
         "conv_id",
         "turn_idx",
-        turn_vertex_id(parsed, F.col("turn_idx")).alias("vid"),
+        turn_vertex_id(conv_ordinal(F.col("conv_id")), F.col("turn_idx")).alias("vid"),
     )
     return (
         with_vid.withColumn("next_vid", F.lead("vid").over(w))

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from cassovary_spark.sources.transcripts import turn_vertex_id
+from cassovary_spark.sources.transcripts import conv_ordinal, turn_vertex_id
 
 EDGE_SCHEMA = "src long, dst long"
 STATE_SCHEMA = "last_idx long, last_vid long"
@@ -101,14 +101,10 @@ def stream_turn_edges(
     conversation's eviction starts a fresh chain (the late turn loses its
     link to the pre-eviction predecessor — the standard state-TTL trade)."""
     # try_cast: regexp_extract yields '' on no-match, which ANSI cast rejects
-    parsed = F.regexp_extract("conv_id", r"^conv(\d+)$", 1).try_cast("long")
-    ordinal = F.coalesce(
-        parsed, F.pmod(F.xxhash64("conv_id"), F.lit(1 << 45))
-    )
     with_vid = transcripts.select(
         "conv_id",
         F.col("turn_idx").cast("long").alias("turn_idx"),
-        turn_vertex_id(ordinal, F.col("turn_idx")).alias("vid"),
+        turn_vertex_id(conv_ordinal(F.col("conv_id")), F.col("turn_idx")).alias("vid"),
     )
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout

@@ -163,3 +163,39 @@ def test_oracle_queries_importable():
         "tr_turn_text",  # xxhash64 synthesis not reproducible in DuckDB
         "tr_pagerank5",  # same
     }
+
+
+def test_read_edge_list_literal_separator_and_comments(spark, tmp_path):
+    """sep is a LITERAL (regex metachars like '|' must not explode the
+    split) and indented comment lines are skipped, not parsed as nulls."""
+    from cassovary_spark.sources import read_edge_list
+
+    p = tmp_path / "pipe_edges.txt"
+    p.write_text("1|2\n  # indented comment\n3|4\n")
+    e = {(r["src"], r["dst"]) for r in read_edge_list(spark, str(p), sep="|").collect()}
+    assert e == {(1, 2), (3, 4)}
+
+
+def test_duplicate_and_empty_seed_contracts(spark):
+    """Duplicate seeds de-dupe (one (id, depth) row per id; PPR mass sums
+    to 1); empty seed lists raise instead of dividing by zero."""
+    import pytest as _pytest
+
+    from cassovary_spark.operators import (
+        bfs,
+        personalized_pagerank,
+        random_walk_visits,
+    )
+
+    e = edges_df(spark, [(1, 2), (2, 3)])
+    out = bfs(e, [1, 1], max_depth=2).collect()
+    assert sorted((r["id"], r["depth"]) for r in out) == [(1, 0), (2, 1), (3, 2)]
+    total = sum(
+        r["score"]
+        for r in personalized_pagerank(e, [1, 1], max_iterations=3).collect()
+    )
+    assert abs(total - 1.0) < 1e-9
+    with _pytest.raises(ValueError):
+        random_walk_visits(e, [], num_steps=2)
+    with _pytest.raises(ValueError):
+        personalized_pagerank(e, [])

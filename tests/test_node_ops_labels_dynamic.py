@@ -116,3 +116,48 @@ def test_dynamic_graph_mutations(spark, tmp_path):
     assert g2._deltas == []
     cur2 = {(r["src"], r["dst"]) for r in g2.current_edges().collect()}
     assert cur2 == set(G6) | {(1, 2)}
+
+
+def test_label_names_with_underscores_roundtrip(spark, tmp_path):
+    """Label NAMES may contain underscores (the filename parser's name field
+    is greedy); collections may not (validated at write)."""
+    import pytest as _pytest
+
+    d = str(tmp_path / "lbl_us")
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, page_rank_tier int"
+    )
+    write_labels(labels, d, "c")
+    back = {r["id"]: r["page_rank_tier"] for r in read_labels(spark, d, "c").collect()}
+    assert back == {1: 10, 2: 20}
+    with _pytest.raises(ValueError):
+        write_labels(labels, d, "my_coll")
+
+
+def test_dynamic_repeated_compact(spark, tmp_path):
+    """compact() to the same path twice must not fail (snapshot subdirs, the
+    Iceberg pattern) — overwriting the directory the base reads from raises
+    in Spark."""
+    from cassovary_spark.dynamic import DynamicGraph
+
+    base = spark.createDataFrame([(1, 2)], "src long, dst long")
+    g = DynamicGraph(base).add_edge(2, 3)
+    p = str(tmp_path / "snaps")
+    g2 = g.compact(p)
+    g3 = g2.add_edge(3, 4).compact(p)
+    got = {(r["src"], r["dst"]) for r in g3.current_edges().collect()}
+    assert got == {(1, 2), (2, 3), (3, 4)}
+
+
+def test_transcripts_real_conv_ids(spark):
+    """Non-synthetic conv_id formats (UUID-ish) derive non-null vertex ids
+    via the hash-ordinal fallback — edges are not silently dropped."""
+    from cassovary_spark.sources import turn_edges
+
+    t = spark.createDataFrame(
+        [("a1b2-uuid", 0), ("a1b2-uuid", 1), ("a1b2-uuid", 2)],
+        "conv_id string, turn_idx int",
+    )
+    e = turn_edges(t).collect()
+    assert len(e) == 2
+    assert all(r["src"] is not None and r["dst"] is not None for r in e)
