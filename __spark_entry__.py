@@ -32,6 +32,7 @@ DAMPING = 0.85
 PR_ITERS = 5
 HITS_ITERS = 3
 SUPP_OFFSET = 1_000_000
+ANN_DIM = 64  # embeddings.parquet dimension; shared by query AND oracle
 
 
 # ---------------------------------------------------------------- derivations
@@ -582,10 +583,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_emb_lsh_ann(spark, sf):
         # approximate-by-DESIGN but fully deterministic: hyperplanes are
-        # pure-Python constants shared with the SQL oracle generator
+        # pure-Python constants shared with the SQL oracle generator. The
+        # dimension must equal ANN_DIM (the oracle's plane literals are
+        # generated for exactly that dim) — fail loudly on mismatch rather
+        # than desynchronize the two sides.
         e = emb(spark, sf)
         dim = len(e.select("embedding").first()[0])
-        return lsh_bucketed_ann(e, dim=dim, k=3).select(
+        if dim != ANN_DIM:
+            raise ValueError(
+                f"embeddings dim {dim} != ANN_DIM {ANN_DIM}; regenerate the "
+                "oracle via _lsh_ann_sql(dim=...) alongside"
+            )
+        return lsh_bucketed_ann(e, dim=ANN_DIM, k=3).select(
             "q", "v", F.round("score", 6).alias("score"), "rn"
         )
 
@@ -882,7 +891,7 @@ SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM buckets x JOIN buckets y
   ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""",
         "doc_simhash_dups": _simhash_pairs_sql(max_hamming=3),
-        "emb_lsh_ann": _lsh_ann_sql(dim=64, k=3),
+        "emb_lsh_ann": _lsh_ann_sql(dim=ANN_DIM, k=3),
         "multimodal_features": """
 SELECT doc_id::BIGINT AS media_id,
        COALESCE(octet_length(encode(text)), 0)::BIGINT AS n_bytes

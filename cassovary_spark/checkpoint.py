@@ -156,7 +156,11 @@ class StateScratch:
         self._i = 0
         self._paths: list[str] = []
         self._tables: list[str] = []
-        self._prefix = "cassovary_state_" + os.path.basename(self.dir).split("_")[-1].lower()
+        # table prefix = the FULL unique tmpdir basename: mkdtemp's random
+        # suffix may itself contain '_', so taking split('_')[-1] could
+        # collide across two live StateScratch instances (e.g. bipartite
+        # holds two) and let one DROP/overwrite the other's live state
+        self._prefix = os.path.basename(self.dir).lower()
         self._bucketing_ok = True
         # operators may return a DataFrame still backed by the last state file
         # (cheaper than re-materializing it); storage is reclaimed at exit

@@ -7,6 +7,13 @@ Design for 100 TB corpora:
   shingles (pairs with zero shared shingles are never materialized)
 - hashes are md5-based, which both Spark and DuckDB implement identically —
   the dedup pipeline is therefore fully SQL-oracle-checkable.
+
+Cache lifecycle: a few functions persist() an intermediate that feeds two
+NON-identical consumers (ngram sizes+join, the capped-LSH size filter);
+those blocks stay cached until Spark's LRU evicts them (storage memory is
+evictable under the unified memory manager, so this degrades to recompute,
+never OOM). Long-lived pipelines that call these in a loop should persist
+their INPUT docs and call spark.catalog.clearCache() between batches.
 """
 
 from __future__ import annotations
@@ -187,8 +194,10 @@ def minhash_lsh_buckets(
     signatures: DataFrame, bands: int = 4
 ) -> DataFrame:
     """Band the signature into LSH buckets: ``(doc_id, band, bucket)``.
-    Docs sharing any (band, bucket) are near-dup candidates."""
-    n = bands  # rows per band inferred from sig length at runtime
+    Docs sharing any (band, bucket) are near-dup candidates. Rows per band
+    are inferred from the signature length at runtime; callers must keep
+    ``bands`` a divisor of the signature length (validated where num_hashes
+    is known, minhash_lsh_candidates)."""
     return signatures.select(
         "doc_id",
         F.explode(
@@ -234,6 +243,13 @@ def minhash_lsh_candidates(
     their members are template-collisions, the job of exact_dedup or a
     shingle-IDF filter, not pairwise LSH. None = exact (no cap), the
     SQL-oracle-checked configuration."""
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make every band slice EMPTY -> one global
+        # bucket -> O(n^2) candidates; a non-divisor silently drops trailing
+        # hashes and weakens the collision probability
+        raise ValueError(
+            f"bands={bands} must be a positive divisor of num_hashes={num_hashes}"
+        )
     sig = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col)
     # Uncapped: no persist needed for the self-join below — its two sides
     # are IDENTICAL subplans, so the physical plan gets a ReusedExchange
@@ -310,7 +326,9 @@ def simhash_near_dups(
     Candidates are generated by banding the 64-bit simhash into 4 x 16-bit
     chunks (pigeonhole: any pair within Hamming distance 3 shares at least
     one exact chunk), then verified with bit_count — never all-pairs."""
-    sh = simhash(docs, 64, id_col, text_col).persist()
+    # no persist: both candidate-join sides are identical subplans, so the
+    # physical plan reuses one exchange (same measurement as minhash)
+    sh = simhash(docs, 64, id_col, text_col)
     chunks = sh.select(
         "doc_id",
         "simhash",

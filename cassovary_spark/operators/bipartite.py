@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cassovary_spark.checkpoint import StateScratch
+from cassovary_spark.checkpoint import StateScratch, materialize
 
 
 # shared workaround for window-order-unstable collect_list (observed
@@ -188,6 +188,10 @@ def bipartite_link_analysis(
         "id",
         "left",
     ).select("id", "weight", F.coalesce("contributors", empty).alias("contributors"))
+    left_out = materialize(left_out)
+    right_out = materialize(right_out)
+    scratch.close()
+    contrib_scratch.close()
     e.unpersist()
     lw0.unpersist()
     return BipartiteAnalysis(left_out, right_out)

@@ -41,7 +41,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from cassovary_spark.checkpoint import CheckpointStore, StateScratch
+from cassovary_spark.checkpoint import CheckpointStore, StateScratch, materialize
 from cassovary_spark.graph import out_degrees, vertices_of
 
 
@@ -217,8 +217,11 @@ def pagerank(
             new_ranks = checkpoint.save(iteration, new_ranks, row)
         ranks = new_ranks
 
+    # materialize the final state BEFORE closing the scratch (the frame is
+    # backed by the last scratch table); close() frees per-call state dirs +
+    # catalog tables instead of leaking them until process exit
+    result = materialize(ranks.select("id", "pagerank"))
+    scratch.close()
     verts.unpersist()
     wedges.unpersist()
-    return PageRankResult(
-        ranks.select("id", "pagerank"), error, iteration, n, m, history
-    )
+    return PageRankResult(result, error, iteration, n, m, history)

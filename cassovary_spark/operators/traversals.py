@@ -532,7 +532,9 @@ def personalized_pagerank(
         if err <= tolerance:
             break
 
+    result = materialize(ranks.select("id", "score"))
+    scratch.close()
     verts.unpersist()
     verts_s.unpersist()
     wedges.unpersist()
-    return ranks.select("id", "score")
+    return result

@@ -45,11 +45,23 @@ def get_spark(
     """
     builder = SparkSession.builder.appName(app_name)
 
+    # Under spark-submit the driver python runs with the JVM gateway already
+    # configured (PYSPARK_GATEWAY_PORT is set by PythonRunner) and
+    # spark.master comes from --master; overriding it here would silently
+    # turn a YARN/k8s job into local[*]. SPARK_MASTER/MASTER cover the
+    # standalone scripts' env convention.
+    submit_managed = (
+        "PYSPARK_GATEWAY_PORT" in os.environ
+        or os.environ.get("SPARK_MASTER")
+        or os.environ.get("MASTER")
+    )
     if cores is not None:
         builder = builder.master(f"local[{cores}]")
+    elif submit_managed:
+        pass  # master belongs to the submit environment
     elif "SPARK_GRAFT_CPUS" in os.environ:
         builder = builder.master(f"local[{os.environ['SPARK_GRAFT_CPUS']}]")
-    elif not os.environ.get("SPARK_MASTER") and not os.environ.get("MASTER"):
+    else:
         builder = builder.master("local[*]")
 
     n_shuffle = shuffle_partitions or int(

@@ -13,15 +13,13 @@ from pyspark.sql import functions as F
 
 def write_edge_list(edges: DataFrame, path: str, sep: str = " ", sort_by_id: bool = False) -> None:
     """Edge-per-line text sink."""
+    if sort_by_id:
+        edges = edges.orderBy("src", "dst")
     out = edges.select(
         F.concat_ws(sep, F.col("src").cast("string"), F.col("dst").cast("string")).alias(
             "value"
         )
     )
-    if sort_by_id:
-        out = edges.orderBy("src", "dst").select(
-            F.concat_ws(sep, F.col("src").cast("string"), F.col("dst").cast("string")).alias("value")
-        )
     out.write.mode("overwrite").text(path)
 
 
@@ -48,10 +46,18 @@ def write_partitioned_edges(
 ) -> None:
     """Scale-native sink: parquet partitioned by ``pmod(hash(src), k)`` —
     the HashSourceMapper layout (graph/distributed/Partitioner.scala:41-43);
-    under Iceberg this is the ``bucket(k, src)`` partition spec."""
+    under Iceberg this is the ``bucket(k, src)`` partition spec.
+
+    The placement hash is owned by plans.partitioners.hash_source_mapper —
+    one definition, so the sink and the splitter can never diverge. The
+    partition column stays named ``bucket`` (this sink's on-disk contract)."""
+    from cassovary_spark.plans import hash_source_mapper
+
+    bucketed = hash_source_mapper(edges, num_buckets).withColumnRenamed(
+        "instance", "bucket"
+    )
     (
-        edges.withColumn("bucket", F.pmod(F.hash("src"), F.lit(num_buckets)))
-        .repartition(num_buckets, "bucket")
+        bucketed.repartition(num_buckets, "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
