@@ -577,7 +577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_emb_near_dups(spark, sf):
         from cassovary_spark.functions import embedding_near_dups
 
-        return embedding_near_dups(emb(spark, sf), threshold=0.3).select(
+        # exact mode: the SQL-oracle-checked all-pairs baseline; the default
+        # (LSH-composed) mode is covered by q_emb_lsh_ann + pytest equality
+        return embedding_near_dups(emb(spark, sf), threshold=0.3, exact=True).select(
             "a", "b", F.round("score", 6).alias("score")
         )
 

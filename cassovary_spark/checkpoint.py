@@ -162,6 +162,17 @@ class StateScratch:
         # holds two) and let one DROP/overwrite the other's live state
         self._prefix = os.path.basename(self.dir).lower()
         self._bucketing_ok = True
+        # ping-pong table rotation: per-superstep DROP+saveAsTable costs a
+        # fixed ~0.33s of catalog DDL (measured, scripts/profile_superstep.py);
+        # inserting into keep_last pre-created bucketed tables in rotation
+        # costs ~0.28s TOTAL (write+read) for a 339k-row state and the reread
+        # still reports hash-partitioning+ordering (0-exchange self-join
+        # verified). One rotation PER (schema, bucket column, bucket count)
+        # key: an operator like HITS alternates two state schemas through one
+        # scratch, and a single rotation would drop/overwrite the LIVE table
+        # of the other schema mid-query (observed FileNotFoundException).
+        # insertInto binds by POSITION, so writes reorder columns by name.
+        self._rotations: dict[tuple, list[str]] = {}
         # operators may return a DataFrame still backed by the last state file
         # (cheaper than re-materializing it); storage is reclaimed at exit
         atexit.register(shutil.rmtree, self.dir, ignore_errors=True)
@@ -174,6 +185,7 @@ class StateScratch:
             except Exception:  # noqa: BLE001 — session may already be stopped
                 pass
         self._tables.clear()
+        self._rotations.clear()
 
     def roundtrip(
         self,
@@ -210,23 +222,44 @@ class StateScratch:
 
         self._i += 1
         if bucket_by is not None and self._bucketing_ok:
-            name = f"{self._prefix}_{self._i:06d}"
             b = num_buckets or int(
                 self.spark.conf.get("spark.sql.shuffle.partitions")
             )
             try:
-                self.spark.sql(f"DROP TABLE IF EXISTS {name}")
                 bdf, obs = observed(df)
-                (
-                    bdf.write.bucketBy(b, bucket_by)
-                    .sortBy(bucket_by)
-                    .mode("overwrite")
-                    .format("parquet")
-                    .saveAsTable(name)
+                key = (
+                    tuple((f.name, f.dataType.simpleString()) for f in df.schema.fields),
+                    bucket_by,
+                    b,
                 )
-                self._tables.append(name)
-                while len(self._tables) > self.keep_last:
-                    self.spark.sql(f"DROP TABLE IF EXISTS {self._tables.pop(0)}")
+                rotation = self._rotations.setdefault(key, [])
+                if len(rotation) < max(2, self.keep_last):
+                    # rotation warm-up: first writes of a key pay the DDL
+                    name = f"{self._prefix}_{self._i:06d}"
+                    self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+                    (
+                        bdf.write.bucketBy(b, bucket_by)
+                        .sortBy(bucket_by)
+                        .mode("overwrite")
+                        .format("parquet")
+                        .saveAsTable(name)
+                    )
+                    rotation.append(name)
+                    self._tables.append(name)
+                else:
+                    # steady state: overwrite the OLDEST slot (>=2 slots, so
+                    # the previous state — which this write reads — is never
+                    # the table being truncated). insertInto binds columns by
+                    # position; reorder by name against the table schema.
+                    name = rotation.pop(0)
+                    cols = [f.name for f in self.spark.table(name).schema.fields]
+                    bdf.select(*cols).write.mode("overwrite").insertInto(name)
+                    # the catalog caches the table's LogicalRelation including
+                    # its resolved file listing; without an explicit refresh a
+                    # later read can resolve to the PRE-overwrite files
+                    # (observed: FileNotFoundException mid-superstep)
+                    self.spark.catalog.refreshTable(name)
+                    rotation.append(name)
                 out = self.spark.table(name)
                 return (out, obs.get["n"]) if with_count else out
             except Exception as exc:  # noqa: BLE001 — no-catalog environments

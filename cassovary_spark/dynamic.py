@@ -26,10 +26,22 @@ from pyspark.sql import functions as F
 
 @dataclass
 class DynamicGraph:
-    """A base edge table + an ordered mutation log."""
+    """A base edge table + an ordered mutation log.
+
+    The log is a sequence of EPOCHS: API-level edits (add_edge/remove_edge)
+    accumulate as literals and become one epoch-chunk when a DataFrame delta
+    arrives via ``apply_delta_df`` (or when the log is read); DataFrame
+    deltas — e.g. a ``stream_turn_edges`` micro-batch — are appended as
+    whole epoch-chunks WITHOUT driver materialization, so a delta stream of
+    any size flows through as DataFrames end-to-end. Last-writer-wins order
+    is (epoch, seq): later epochs beat earlier ones; within an epoch the
+    caller's ``seq`` column (enumeration order for API edits) decides.
+    """
 
     base: DataFrame
     _deltas: list[tuple[int, int, int]] = field(default_factory=list)
+    _chunks: list[DataFrame] = field(default_factory=list)  # (src,dst,op,seq,epoch)
+    _epoch: int = 0
 
     def add_edge(self, src: int, dst: int) -> "DynamicGraph":
         """addEdge (ArrayBasedDynamicDirectedGraph.scala:143-160; de-dup
@@ -53,26 +65,63 @@ class DynamicGraph:
             self.remove_edge(s, d)
         return self
 
-    def delta_df(self) -> DataFrame:
-        spark = self.base.sparkSession
+    def _flush_literals(self) -> None:
         if not self._deltas:
-            return spark.createDataFrame([], "src long, dst long, op int, seq long")
-        rows = [
-            (s, d, op, i) for i, (s, d, op) in enumerate(self._deltas)
-        ]
-        return spark.createDataFrame(rows, "src long, dst long, op int, seq long")
+            return
+        spark = self.base.sparkSession
+        rows = [(s, d, op, i) for i, (s, d, op) in enumerate(self._deltas)]
+        chunk = spark.createDataFrame(rows, "src long, dst long, op int, seq long")
+        self._chunks.append(chunk.withColumn("epoch", F.lit(self._epoch)))
+        self._epoch += 1
+        self._deltas.clear()
+
+    def apply_delta_df(self, deltas: DataFrame) -> "DynamicGraph":
+        """Append a ``(src, dst, op, seq)`` DataFrame of mutations as one
+        epoch (op = +1 add, -1 remove; ``seq`` orders rows WITHIN this
+        delta). The frame is composed lazily — no collect, no driver-side
+        materialization — so streaming micro-batches
+        (``streaming.stream_turn_edges`` output mapped to op=+1) feed the
+        graph at any scale. Mutations already queued through the edge API
+        are sealed into their own earlier epoch first, preserving call
+        order."""
+        self._flush_literals()
+        self._chunks.append(
+            deltas.select(
+                F.col("src").cast("long"),
+                F.col("dst").cast("long"),
+                F.col("op").cast("int"),
+                F.col("seq").cast("long"),
+            ).withColumn("epoch", F.lit(self._epoch))
+        )
+        self._epoch += 1
+        return self
+
+    def delta_df(self) -> DataFrame:
+        """The full mutation log ``(src, dst, op, seq, epoch)`` in
+        last-writer-wins order (epoch, seq)."""
+        spark = self.base.sparkSession
+        self._flush_literals()
+        if not self._chunks:
+            return spark.createDataFrame(
+                [], "src long, dst long, op int, seq long, epoch int"
+            )
+        out = self._chunks[0]
+        for c in self._chunks[1:]:
+            out = out.union(c)
+        return out
 
     def current_edges(self) -> DataFrame:
         """The resolved ``(src, dst)`` view: base edges minus net-removed,
-        plus net-added — last-writer-wins per key via ``max_by(op, seq)``
-        (one hash aggregation over the delta log, anti/union against base).
+        plus net-added — last-writer-wins per key via
+        ``max_by(op, (epoch, seq))`` (one hash aggregation over the delta
+        log, anti/union against base).
         """
-        if not self._deltas:
+        if not self._deltas and not self._chunks:
             return self.base.select("src", "dst")
         last = (
             self.delta_df()
             .groupBy("src", "dst")
-            .agg(F.max_by("op", "seq").alias("op"))
+            .agg(F.max_by("op", F.struct("epoch", "seq")).alias("op"))
         )
         adds = last.filter(F.col("op") == 1).select("src", "dst")
         dels = last.filter(F.col("op") == -1).select("src", "dst")

@@ -83,23 +83,73 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_freq: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard >= threshold.
 
     Returns ``(a, b, jaccard)`` with a < b. Candidate pairs come from the
     shared-shingle join (same skeleton as the graph similarity operator,
     operators/similarity.py — common-neighbor counting where "neighbors" are
-    shingles)."""
+    shingles).
+
+    Scale controls (pick one; both keep the reported Jaccard EXACT over the
+    full shingle sets and only bound candidate GENERATION):
+
+    - ``max_shingle_freq``: the HOT-SHINGLE CAP. A ubiquitous n-gram ("th "
+      in English) appears in ~every doc, so keying the candidate join on it
+      yields ~|corpus|^2 rows from that one key. Shingles whose document
+      frequency exceeds the cap are excluded from candidate generation (a
+      pair must share at least one RARE shingle to be scored) — the same
+      escape hatch as minhash_lsh_candidates' max_bucket_size. Pairs whose
+      overlap is exclusively boilerplate are template collisions, the job of
+      exact_dedup, not Jaccard.
+    - ``candidates``: an ``(a, b)`` DataFrame (e.g. from
+      minhash_lsh_candidates) — verify-only mode; cost is
+      O(|candidates| * shingles/doc), never all-pairs.
+
+    None of each (default) = the exact all-shared-shingle-pairs form, the
+    SQL-oracle-checked configuration; only viable when no shingle is hot.
+    """
     sh = char_shingles(docs, n, id_col, text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("common"))
-    )
+
+    if candidates is None and max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        capped = sh.join(rare, "shingle")
+        candidates = (
+            capped.select(F.col("doc_id").alias("a"), "shingle")
+            .join(capped.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+
+    if candidates is not None:
+        # exact common-count restricted to the candidate pairs: candidates x
+        # a-shingles keyed by a, then matched against b's shingles — bounded
+        # by |candidates| * shingles/doc
+        common = (
+            candidates.select("a", "b")
+            .join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+            .join(sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("common"))
+        )
     out = (
         common.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
         .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
@@ -320,12 +370,21 @@ def simhash_near_dups(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Candidates are generated by banding the 64-bit simhash into 4 x 16-bit
     chunks (pigeonhole: any pair within Hamming distance 3 shares at least
-    one exact chunk), then verified with bit_count — never all-pairs."""
+    one exact chunk), then verified with bit_count — never all-pairs.
+
+    ``max_bucket_size`` is the HOT-BUCKET CAP (same rationale and mechanics
+    as minhash_lsh_candidates): a template-heavy corpus collapses whole
+    sub-corpora onto identical 16-bit chunks, and one such mega-bucket makes
+    the |bucket|^2 candidate join unfinishable. Chunk buckets above the cap
+    are dropped from candidate generation; their members are
+    template-collisions for exact_dedup. None = exact (no cap), the
+    SQL-oracle-checked configuration."""
     # no persist: both candidate-join sides are identical subplans, so the
     # physical plan reuses one exchange (same measurement as minhash)
     sh = simhash(docs, 64, id_col, text_col)
@@ -346,6 +405,19 @@ def simhash_near_dups(
             )
         ).alias("c"),
     ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    if max_bucket_size is not None:
+        # capped: the size-aggregate consumes chunks through a different
+        # exchange than the join sides, so ReusedExchange no longer applies —
+        # persist to avoid recomputing the simhash stage (same measurement as
+        # minhash_lsh_candidates)
+        chunks = chunks.persist()
+        small = (
+            chunks.groupBy("chunk", "val")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") <= max_bucket_size)
+            .select("chunk", "val")
+        )
+        chunks = chunks.join(small, ["chunk", "val"])
     a = chunks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "chunk", "val")
     b = chunks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "chunk", "val")
     cand = (

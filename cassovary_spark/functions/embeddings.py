@@ -173,19 +173,65 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    exact: bool = False,
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold: ``(a, b, score)``, a < b.
-    Exact (all-pairs) — use lsh_bucketed_ann's bucketing first at scale."""
+
+    Default (``exact=False``, requires ``dim``): candidates come from the
+    multi-table hyperplane LSH buckets (the same OR-construction as
+    lsh_bucketed_ann) and only bucket-mates are scored — never all-pairs, so
+    this is the 10^9-vector-safe default. High-cosine pairs collide with
+    probability 1-(1-(1-theta/pi)^b)^L, ~1 for theta near 0 at the default
+    L=8/b=8 (recall misses are pairs BELOW ~0.9 cosine; raise num_tables for
+    more headroom).
+
+    ``exact=True``: the all-pairs crossJoin — exact recall, O(n^2) scoring;
+    the SQL-oracle-checked configuration and the small-table baseline.
+    """
     x = embeddings.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("a_emb")
     ).withColumn("a_norm", _norm2(F.col("a_emb")))
     y = embeddings.select(
         F.col(id_col).alias("b"), F.col(vec_col).alias("b_emb")
     ).withColumn("b_norm", _norm2(F.col("b_emb")))
+    if exact or dim is None:
+        if not exact:
+            raise ValueError(
+                "embedding_near_dups: pass dim= for the LSH-bucketed default "
+                "or exact=True for the all-pairs baseline"
+            )
+        pairs = x.crossJoin(y).filter(F.col("a") < F.col("b"))
+    else:
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_signature(
+                        F.col(vec_col), dim, planes_per_table, seed + 7919 * t
+                    ).alias("bucket"),
+                )
+                for t in range(num_tables)
+            ]
+        )
+        bk = embeddings.select(
+            F.col(id_col).alias("id"), F.explode(sigs).alias("tb")
+        ).select(
+            "id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+        )
+        cand = (
+            bk.select(F.col("id").alias("a"), "table", "bucket")
+            .join(bk.select(F.col("id").alias("b"), "table", "bucket"), ["table", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        pairs = cand.join(x, "a").join(y, "b")
     return (
-        x.crossJoin(y)
-        .filter(F.col("a") < F.col("b"))
-        .select(
+        pairs.select(
             "a",
             "b",
             (

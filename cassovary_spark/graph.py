@@ -129,23 +129,55 @@ def graph_stats(edges: DataFrame) -> dict:
     }
 
 
-def densify_ids(df: DataFrame, id_col: str) -> DataFrame:
+def densify_ids(df: DataFrame, id_col: str, num_partitions: int | None = None) -> DataFrame:
     """NodeNumberer analog (util/SequentialNodeNumberer.scala:22): a
     deterministic dictionary ``(external_id, id)`` with dense ids 0..n-1.
 
     Deterministic because ids are assigned by sort order of the external id
     (the reference assigns by encounter order, which is file order — not
     reproducible across partitionings; sort order is).
-    At scale: one shuffle (distinct) + one global sort; the dictionary is
-    usually small enough to broadcast for encode joins.
+
+    Scale: a naive ``row_number() over (order by external_id)`` funnels every
+    distinct id through ONE task. Here the ranking is distributed: range-
+    partition by external id (so partition i's keys all precede partition
+    i+1's), rank WITHIN each partition in parallel, then add per-partition
+    cumulative offsets (p scalars collected from a count aggregate and folded
+    back in as a literal map). Output is byte-identical to the global-window
+    form.
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy("external_id")
-    return (
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
         df.select(F.col(id_col).alias("external_id"))
         .distinct()
-        .withColumn("id", F.row_number().over(w).cast("long") - 1)
+        .repartitionByRange(p, "external_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    cnt = {
+        r["pid"]: r["n"]
+        for r in d.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }
+    if not cnt:
+        return spark.createDataFrame([], df.select(F.col(id_col).alias("external_id")).schema.add("id", "long"))
+    # RangePartitioner assigns ascending key ranges to ascending partition
+    # ids, so the cumulative counts in pid order are the global rank offsets
+    offsets, acc = {}, 0
+    for pid in sorted(cnt):
+        offsets[pid] = acc
+        acc += cnt[pid]
+    omap = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("pid").orderBy("external_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .select(
+            "external_id",
+            (F.element_at(omap, F.col("pid")) + F.col("rk") - 1).alias("id"),
+        )
     )
 
 

@@ -35,13 +35,26 @@ def connected_components(
     pointer_jump: bool = True,
     checkpoint: CheckpointStore | None = None,
     resume: bool = False,
+    engine: str = "auto",
 ) -> DataFrame:
     """Exact weakly-connected components; returns ``(id, component)`` where
     ``component`` is the min vertex id in the component."""
     spark = edges.sparkSession
-    from cassovary_spark.plans import choose_partitions
+    from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions, superstep_conf
 
-    p = choose_partitions(spark, edges, num_partitions)
+    m0 = edges.count()
+    if engine == "auto" and checkpoint is None:
+        engine = "local" if m0 <= LOCAL_EDGE_THRESHOLD else "distributed"
+    if engine == "local":
+        from cassovary_spark.operators import local_engine as LE
+
+        ids, si, di = LE.edges_to_numpy(edges)
+        if len(ids) == 0:
+            return spark.createDataFrame([], "id long, component long")
+        comp = LE.connected_components_numpy(ids, si, di)
+        return LE.result_df(spark, ids, {"component": comp}, "id long, component long")
+
+    p = choose_partitions(spark, m0, num_partitions)
 
     # the superstep join keys on dst (gather neighbor labels), so the static
     # edge table is partitioned AND sorted by dst — SMJ then never exchanges
@@ -66,53 +79,54 @@ def connected_components(
 
     prev_sum = labels.agg(F.sum("component")).first()[0]
     iteration = start_iter
-    while max_iterations is None or iteration < max_iterations:
-        # gather: min neighbor label
-        nbr_min = (
-            und.hint("merge")
-            .join(labels.select(F.col("id").alias("dst"), "component"), "dst")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    "component", F.coalesce("nbr_component", "component")
-                ).alias("component"),
-            )
-        )
-        if pointer_jump:
-            # label(v) <- label(label(v)): self-join on the label table only
-            lut = new_labels.select(
-                F.col("id").alias("component"),
-                F.col("component").alias("jump"),
-            )
-            new_labels = (
-                new_labels.join(lut, "component", "left")
-                .select("id", F.coalesce("jump", "component").alias("component"))
-            )
-        # convergence metric (Σ labels strictly decreases until fixpoint)
-        # collected via observe during the state write — one job/superstep
-        obs = Observation()
-        new_labels = scratch.roundtrip(
-            new_labels.repartition(p, "id").observe(
-                obs, F.sum("component").alias("s")
-            ),
-            bucket_by="id", num_buckets=p,
-        )
-        iteration += 1
+    with superstep_conf(spark, p, m0):
+      while max_iterations is None or iteration < max_iterations:
+          # gather: min neighbor label
+          nbr_min = (
+              und.hint("merge")
+              .join(labels.select(F.col("id").alias("dst"), "component"), "dst")
+              .groupBy(F.col("src").alias("id"))
+              .agg(F.min("component").alias("nbr_component"))
+          )
+          new_labels = (
+              labels.join(nbr_min, "id", "left")
+              .select(
+                  "id",
+                  F.least(
+                      "component", F.coalesce("nbr_component", "component")
+                  ).alias("component"),
+              )
+          )
+          if pointer_jump:
+              # label(v) <- label(label(v)): self-join on the label table only
+              lut = new_labels.select(
+                  F.col("id").alias("component"),
+                  F.col("component").alias("jump"),
+              )
+              new_labels = (
+                  new_labels.join(lut, "component", "left")
+                  .select("id", F.coalesce("jump", "component").alias("component"))
+              )
+          # convergence metric (Σ labels strictly decreases until fixpoint)
+          # collected via observe during the state write — one job/superstep
+          obs = Observation()
+          new_labels = scratch.roundtrip(
+              new_labels.repartition(p, "id").observe(
+                  obs, F.sum("component").alias("s")
+              ),
+              bucket_by="id", num_buckets=p,
+          )
+          iteration += 1
 
-        cur_sum = obs.get["s"]
-        labels = new_labels
-        if checkpoint is not None:
-            labels = checkpoint.save(
-                iteration, labels, {"error": float(prev_sum - cur_sum), "label_sum": cur_sum}
-            )
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+          cur_sum = obs.get["s"]
+          labels = new_labels
+          if checkpoint is not None:
+              labels = checkpoint.save(
+                  iteration, labels, {"error": float(prev_sum - cur_sum), "label_sum": cur_sum}
+              )
+          if cur_sum == prev_sum:
+              break
+          prev_sum = cur_sum
 
     result = materialize(labels.select("id", "component"))
     scratch.close()

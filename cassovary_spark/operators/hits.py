@@ -41,11 +41,35 @@ def hits(
     tolerance: float = 1e-8,
     normalize: bool = True,
     num_partitions: int | None = None,
+    engine: str = "auto",
 ) -> HitsResult:
     spark = edges.sparkSession
-    from cassovary_spark.plans import choose_partitions
+    from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions, superstep_conf
 
-    p = choose_partitions(spark, edges, num_partitions)
+    m0 = edges.count()
+    if engine == "auto":
+        engine = "local" if m0 <= LOCAL_EDGE_THRESHOLD else "distributed"
+    if engine == "local":
+        from cassovary_spark.operators import local_engine as LE
+
+        ids, si, di = LE.edges_to_numpy(edges)
+        if len(ids) == 0:
+            empty = spark.createDataFrame([], "id long, hub double, authority double")
+            return HitsResult(empty, 0.0, 0)
+        hub, auth, error, its, history = LE.hits_numpy(
+            ids, si, di, max_iterations, tolerance
+        )
+        if normalize:
+            hs = hub.sum() or 1.0
+            as_ = auth.sum() or 1.0
+            hub, auth = hub / hs, auth / as_
+        scores = LE.result_df(
+            spark, ids, {"hub": hub, "authority": auth},
+            "id long, hub double, authority double",
+        )
+        return HitsResult(scores, error, its, history)
+
+    p = choose_partitions(spark, m0, num_partitions)
 
     verts = vertices_of(edges).repartition(p, "id").sortWithinPartitions("id").persist()
     n = verts.count()
@@ -76,68 +100,69 @@ def hits(
             return True
         return err <= tolerance
 
-    while not terminated(iteration, error):
-        auth_raw = (
-            by_src.hint("merge").join(state.select(F.col("id").alias("src"), "hub"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("hub").alias("a_raw"))
-        )
-        auth_full = (
-            verts.join(auth_raw, "id", "left")
-            .select("id", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
-            .repartition(p, "id")
-        )
-        auth_full = materialize(auth_full)
+    with superstep_conf(spark, p, m0):
+      while not terminated(iteration, error):
+          auth_raw = (
+              by_src.hint("merge").join(state.select(F.col("id").alias("src"), "hub"), "src")
+              .groupBy(F.col("dst").alias("id"))
+              .agg(F.sum("hub").alias("a_raw"))
+          )
+          auth_full = (
+              verts.join(auth_raw, "id", "left")
+              .select("id", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
+              .repartition(p, "id")
+          )
+          auth_full = materialize(auth_full)
 
-        hub_raw = (
-            by_dst.hint("merge").join(auth_full.select(F.col("id").alias("dst"), "a_raw"), "dst")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("a_raw").alias("h_raw"))
-        )
-        # carry the previous (normalized) hub along and collect the per-side
-        # maxes via ``observe`` DURING the materialization — the reference's
-        # scale-by-max pass (Hits.scala:53-56,101) without its own scan
-        joined = (
-            state.select("id", F.col("hub").alias("prev_hub"))
-            .join(hub_raw, "id", "left")
-            .join(auth_full, "id")
-            .select(
-                "id", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
-                "a_raw", "prev_hub",
-            )
-            .repartition(p, "id")
-        )
-        obs_max = Observation()
-        joined = scratch.roundtrip(
-            joined.observe(
-                obs_max, F.max("h_raw").alias("hmax"), F.max("a_raw").alias("amax")
-            ),
-            bucket_by="id", num_buckets=p,
-        )
-        maxes = obs_max.get
-        hmax = maxes["hmax"] if (maxes["hmax"] or 0) > 0 else 1.0
-        amax = maxes["amax"] if (maxes["amax"] or 0) > 0 else 1.0
+          hub_raw = (
+              by_dst.hint("merge").join(auth_full.select(F.col("id").alias("dst"), "a_raw"), "dst")
+              .groupBy(F.col("src").alias("id"))
+              .agg(F.sum("a_raw").alias("h_raw"))
+          )
+          # carry the previous (normalized) hub along and collect the per-side
+          # maxes via ``observe`` DURING the materialization — the reference's
+          # scale-by-max pass (Hits.scala:53-56,101) without its own scan
+          joined = (
+              state.select("id", F.col("hub").alias("prev_hub"))
+              .join(hub_raw, "id", "left")
+              .join(auth_full, "id")
+              .select(
+                  "id", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
+                  "a_raw", "prev_hub",
+              )
+              .repartition(p, "id")
+          )
+          obs_max = Observation()
+          joined = scratch.roundtrip(
+              joined.observe(
+                  obs_max, F.max("h_raw").alias("hmax"), F.max("a_raw").alias("amax")
+              ),
+              bucket_by="id", num_buckets=p,
+          )
+          maxes = obs_max.get
+          hmax = maxes["hmax"] if (maxes["hmax"] or 0) > 0 else 1.0
+          amax = maxes["amax"] if (maxes["amax"] or 0) > 0 else 1.0
 
-        # normalization write doubles as the T1-error scan (observe again)
-        obs_err = Observation()
-        new_state = scratch.roundtrip(
-            joined.select(
-                "id",
-                (F.col("h_raw") / F.lit(hmax)).alias("hub"),
-                (F.col("a_raw") / F.lit(amax)).alias("authority"),
-                "prev_hub",
-            )
-            .observe(
-                obs_err,
-                F.sum(F.abs(F.col("prev_hub") - F.col("hub"))).alias("e"),
-            )
-            .drop("prev_hub"),
-            bucket_by="id", num_buckets=p,
-        )
-        error = obs_err.get["e"]
-        iteration += 1
-        history.append({"iteration": iteration, "error": error})
-        state = new_state
+          # normalization write doubles as the T1-error scan (observe again)
+          obs_err = Observation()
+          new_state = scratch.roundtrip(
+              joined.select(
+                  "id",
+                  (F.col("h_raw") / F.lit(hmax)).alias("hub"),
+                  (F.col("a_raw") / F.lit(amax)).alias("authority"),
+                  "prev_hub",
+              )
+              .observe(
+                  obs_err,
+                  F.sum(F.abs(F.col("prev_hub") - F.col("hub"))).alias("e"),
+              )
+              .drop("prev_hub"),
+              bucket_by="id", num_buckets=p,
+          )
+          error = obs_err.get["e"]
+          iteration += 1
+          history.append({"iteration": iteration, "error": error})
+          state = new_state
 
     if normalize:
         sums = state.agg(F.sum("hub").alias("hs"), F.sum("authority").alias("as_")).first()

@@ -35,12 +35,25 @@ def label_propagation(
     num_partitions: int | None = None,
     checkpoint: CheckpointStore | None = None,
     resume: bool = False,
+    engine: str = "auto",
 ) -> DataFrame:
     """Deterministic synchronous LPA; returns ``(id, label)``."""
     spark = edges.sparkSession
-    from cassovary_spark.plans import choose_partitions
+    from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions, superstep_conf
 
-    p = choose_partitions(spark, edges, num_partitions)
+    m0 = edges.count()
+    if engine == "auto" and checkpoint is None:
+        engine = "local" if m0 <= LOCAL_EDGE_THRESHOLD else "distributed"
+    if engine == "local":
+        from cassovary_spark.operators import local_engine as LE
+
+        ids, si, di = LE.edges_to_numpy(edges)
+        if len(ids) == 0:
+            return spark.createDataFrame([], "id long, label long")
+        lab = LE.label_propagation_numpy(ids, si, di, max_iterations)
+        return LE.result_df(spark, ids, {"label": lab}, "id long, label long")
+
+    p = choose_partitions(spark, m0, num_partitions)
 
     # join keys on dst each superstep -> partition+sort the static edge table
     # by dst (see components.py rationale)
@@ -65,46 +78,47 @@ def label_propagation(
     top1 = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
 
     iteration = start_iter
-    while iteration < max_iterations:
-        nbr_label_counts = (
-            und.hint("merge")
-            .join(labels.select(F.col("id").alias("dst"), "label"), "dst")
-            .groupBy(F.col("src").alias("id"), "label")
-            .agg(F.count("*").alias("cnt"))
-        )
-        mode_label = (
-            nbr_label_counts.withColumn("rn", F.row_number().over(top1))
-            .filter(F.col("rn") == 1)
-            .select("id", F.col("label").alias("new_label"))
-        )
-        # changed-count collected via observe during the state write (the
-        # previous label rides along as a dropped column) — one job/superstep
-        obs = Observation()
-        new_labels = scratch.roundtrip(
-            labels.join(mode_label, "id", "left")
-            .select(
-                "id",
-                F.coalesce("new_label", "label").alias("label"),
-                F.col("label").alias("prev"),
-            )
-            .repartition(p, "id")
-            .observe(
-                obs,
-                F.sum(
-                    F.when(F.col("prev") != F.col("label"), 1).otherwise(0)
-                ).alias("changed"),
-            )
-            .drop("prev"),
-            bucket_by="id", num_buckets=p,
-        )
-        iteration += 1
+    with superstep_conf(spark, p, m0):
+      while iteration < max_iterations:
+          nbr_label_counts = (
+              und.hint("merge")
+              .join(labels.select(F.col("id").alias("dst"), "label"), "dst")
+              .groupBy(F.col("src").alias("id"), "label")
+              .agg(F.count("*").alias("cnt"))
+          )
+          mode_label = (
+              nbr_label_counts.withColumn("rn", F.row_number().over(top1))
+              .filter(F.col("rn") == 1)
+              .select("id", F.col("label").alias("new_label"))
+          )
+          # changed-count collected via observe during the state write (the
+          # previous label rides along as a dropped column) — one job/superstep
+          obs = Observation()
+          new_labels = scratch.roundtrip(
+              labels.join(mode_label, "id", "left")
+              .select(
+                  "id",
+                  F.coalesce("new_label", "label").alias("label"),
+                  F.col("label").alias("prev"),
+              )
+              .repartition(p, "id")
+              .observe(
+                  obs,
+                  F.sum(
+                      F.when(F.col("prev") != F.col("label"), 1).otherwise(0)
+                  ).alias("changed"),
+              )
+              .drop("prev"),
+              bucket_by="id", num_buckets=p,
+          )
+          iteration += 1
 
-        changed = obs.get["changed"]
-        labels = new_labels
-        if checkpoint is not None:
-            labels = checkpoint.save(iteration, labels, {"error": float(changed)})
-        if changed == 0:
-            break
+          changed = obs.get["changed"]
+          labels = new_labels
+          if checkpoint is not None:
+              labels = checkpoint.save(iteration, labels, {"error": float(changed)})
+          if changed == 0:
+              break
 
     result = materialize(labels.select("id", "label"))
     scratch.close()

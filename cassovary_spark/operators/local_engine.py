@@ -1,0 +1,354 @@
+"""Adaptive single-node execution for small graphs (COST-aware engine choice).
+
+Below ``plans.LOCAL_EDGE_THRESHOLD`` edges, an iterative graph algorithm's
+entire state fits in one task's memory and the distributed superstep
+machinery (state round-trips, exchanges, task scheduling) is pure fixed cost
+— measured ~0.5s/superstep at 319k edges where the actual arithmetic is
+~1ms. The engine therefore collapses to ONE Arrow transfer of the edge list
+plus a vectorized numpy power-iteration loop — which is exactly the
+reference's own execution model (Cassovary is a single-node in-memory
+library; algorithms/linkanalysis/PageRank.scala iterates over an in-memory
+CSR), so this path is also the closest semantic mirror.
+
+Recurrences here are line-for-line twins of the distributed operators
+(operators/pagerank.py etc.) and are equality-tested against them
+(tests/test_local_engine.py); all distributed-vs-local differences are
+floating-point summation order, within fixture tolerance.
+
+The distributed path remains the default above the threshold and can always
+be forced with ``engine='distributed'`` — scale correctness does not ride on
+this module.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def edges_to_numpy(edges: DataFrame):
+    """One Arrow transfer of ``(src, dst)`` + dense index mapping.
+
+    Returns (ids, si, di) where ids is the sorted distinct vertex array and
+    si/di are the edge endpoints as positions into ids."""
+    pdf = edges.select("src", "dst").toPandas()
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    ids = np.unique(np.concatenate([src, dst]))
+    return ids, np.searchsorted(ids, src), np.searchsorted(ids, dst)
+
+
+def result_df(spark, ids: np.ndarray, cols: dict[str, np.ndarray], schema: str) -> DataFrame:
+    data = {"id": ids, **cols}
+    return spark.createDataFrame(pd.DataFrame(data), schema=schema)
+
+
+def pagerank_numpy(
+    ids: np.ndarray,
+    si: np.ndarray,
+    di: np.ndarray,
+    damping: float,
+    max_iterations: int | None,
+    tolerance: float,
+):
+    """The exact PageRank recurrence of operators/pagerank.py (reference:
+    algorithms/linkanalysis/PageRank.scala:80-113) vectorized over numpy.
+
+    Returns (pr, error, iterations, history)."""
+    n = len(ids)
+    outdeg = np.bincount(si, minlength=n)
+    dangling = outdeg == 0
+    w = damping / np.maximum(outdeg, 1).astype(np.float64)
+    pr = np.full(n, 1.0 / n)
+    damping_amount = (1.0 - damping) / n
+    error = 100.0 + tolerance  # reference initial error (PageRank.scala:82)
+    history: list[dict] = []
+    it = 0
+
+    def terminated(i: int, err: float) -> bool:
+        if max_iterations is not None and i >= max_iterations:
+            return True
+        return err <= tolerance
+
+    ws = w[si]
+    while not terminated(it, error):
+        dangle_sum = damping * float(pr[dangling].sum()) / n
+        gathered = np.bincount(di, weights=pr[si] * ws, minlength=n)
+        new_pr = gathered + damping_amount + dangle_sum
+        error = float(np.abs(new_pr - pr).sum())
+        pr = new_pr
+        it += 1
+        history.append(
+            {"iteration": it, "error": error, "dangle_sum": dangle_sum,
+             "node_count": n, "edge_count": len(si), "engine": "local"}
+        )
+    return pr, error, it, history
+
+
+def hits_numpy(
+    ids: np.ndarray,
+    si: np.ndarray,
+    di: np.ndarray,
+    max_iterations: int | None,
+    tolerance: float,
+):
+    """HITS recurrence twin of operators/hits.py (reference:
+    algorithms/linkanalysis/Hits.scala:75-110): per iteration
+    a_raw = gather(hub) over in-edges, h_raw = gather(a_raw) over out-edges
+    (the RAW new authorities), each scaled by its own max; T1 error is
+    tracked on the scaled HUB vector only. Returns unnormalized (scaled)
+    vectors; callers apply the postRun sum-normalization."""
+    n = len(ids)
+    hub = np.full(n, 1.0 / n)
+    error = 100.0 + tolerance
+    it = 0
+    history: list[dict] = []
+    auth = np.zeros(n)
+
+    def terminated(i: int, err: float) -> bool:
+        if max_iterations is not None and i >= max_iterations:
+            return True
+        return err <= tolerance
+
+    while not terminated(it, error):
+        a_raw = np.bincount(di, weights=hub[si], minlength=n)
+        h_raw = np.bincount(si, weights=a_raw[di], minlength=n)
+        hmax = h_raw.max() if n and h_raw.max() > 0 else 1.0
+        amax = a_raw.max() if n and a_raw.max() > 0 else 1.0
+        new_hub = h_raw / hmax
+        auth = a_raw / amax
+        error = float(np.abs(new_hub - hub).sum())
+        hub = new_hub
+        it += 1
+        history.append({"iteration": it, "error": error, "engine": "local"})
+    return hub, auth, error, it, history
+
+
+def connected_components_numpy(ids: np.ndarray, si: np.ndarray, di: np.ndarray):
+    """Hash-min label propagation to fixpoint on the undirected closure —
+    component ids equal min vertex id, matching operators/components.py."""
+    n = len(ids)
+    comp = np.arange(n)
+    # undirected closure
+    a = np.concatenate([si, di])
+    b = np.concatenate([di, si])
+    while True:
+        new = comp.copy()
+        np.minimum.at(new, b, comp[a])
+        # pointer jumping: comp[v] = comp[comp[v]] until stable
+        changed = (new != comp).any()
+        comp = new
+        while True:
+            jumped = comp[comp]
+            if (jumped == comp).all():
+                break
+            comp = jumped
+        if not changed:
+            break
+    return ids[comp]
+
+
+def label_propagation_numpy(
+    ids: np.ndarray,
+    si: np.ndarray,
+    di: np.ndarray,
+    max_iterations: int,
+):
+    """Synchronous LPA twin of operators/labelprop.py: labels start as own
+    vertex id; each round every vertex adopts the most frequent label among
+    its undirected neighbors, ties broken by SMALLEST label; a vertex keeps
+    its label when it has no neighbors. Runs ``max_iterations`` rounds or
+    until no label changes."""
+    n = len(ids)
+    labels = np.arange(n, dtype=np.int64)  # positions into ids
+    # graph.mutualize semantics: union with transpose, DEDUPE, drop self-loops
+    a = np.concatenate([si, di])
+    b = np.concatenate([di, si])
+    keep = a != b
+    a, b = a[keep], b[keep]
+    key = a * np.int64(n) + b
+    uniq = np.unique(key)
+    av, bv = uniq // n, uniq % n
+    for _ in range(max_iterations):
+        lab = labels[bv]
+        # most frequent neighbor label per vertex, ties -> smallest label id
+        df = pd.DataFrame({"v": av, "lab": ids[lab]})
+        cnt = df.groupby(["v", "lab"], sort=False).size().reset_index(name="c")
+        cnt = cnt.sort_values(["v", "c", "lab"], ascending=[True, False, True],
+                              kind="mergesort")
+        best = cnt.drop_duplicates("v", keep="first")
+        new_labels_ext = ids[labels].copy()
+        new_labels_ext[best["v"].to_numpy()] = best["lab"].to_numpy()
+        new_pos = np.searchsorted(ids, new_labels_ext)
+        if (new_pos == labels).all():
+            break
+        labels = new_pos
+    return ids[labels]
+
+
+def bfs_numpy(
+    ids: np.ndarray,
+    si: np.ndarray,
+    di: np.ndarray,
+    seeds,
+    max_depth: int | None,
+    max_degree: int | None,
+):
+    """Visit-once BFS twin of operators/traversals.py:bfs (reference:
+    graph/Traverser.scala:426-450): first-visit depth from the deduped seed
+    set; hub nodes (out-degree > max_degree) are visited but not expanded;
+    seeds absent from the graph still appear at depth 0.
+
+    Returns (out_ids, out_depths) as external-id / depth arrays."""
+    n = len(ids)
+    seeds = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    spos_all = np.searchsorted(ids, seeds)
+    in_graph = (spos_all < n) & (ids[np.minimum(spos_all, max(n - 1, 0))] == seeds) if n else np.zeros(len(seeds), bool)
+    # CSR by src
+    order = np.argsort(si, kind="stable")
+    s_sorted, d_sorted = si[order], di[order]
+    indptr = np.searchsorted(s_sorted, np.arange(n + 1))
+    outdeg = np.diff(indptr)
+    expandable = np.ones(n, dtype=bool) if max_degree is None else (outdeg <= max_degree)
+    depth_of = np.full(n, -1, dtype=np.int64)
+    frontier = spos_all[in_graph]
+    depth_of[frontier] = 0
+    depth = 0
+    while frontier.size and (max_depth is None or depth < max_depth):
+        f = frontier[expandable[frontier]]
+        starts, counts = indptr[f], outdeg[f]
+        tot = int(counts.sum())
+        if tot == 0:
+            break
+        seg = np.cumsum(counts) - counts
+        pos = (np.arange(tot, dtype=np.int64) - np.repeat(seg, counts)
+               + np.repeat(starts, counts))
+        nbrs = d_sorted[pos]
+        new = np.unique(nbrs[depth_of[nbrs] < 0])
+        if new.size == 0:
+            break
+        depth += 1
+        depth_of[new] = depth
+        frontier = new
+    vis = depth_of >= 0
+    out_ids = np.concatenate([ids[vis], seeds[~in_graph]])
+    out_depths = np.concatenate(
+        [depth_of[vis], np.zeros(int((~in_graph).sum()), dtype=np.int64)]
+    )
+    return out_ids, out_depths
+
+
+def bfs_events_numpy(
+    ids: np.ndarray,
+    si: np.ndarray,
+    di: np.ndarray,
+    seeds,
+    max_depth: int | None,
+    max_degree: int | None,
+):
+    """Event-log twin of operators/traversals.py:bfs(events=True): one row
+    per edge RELAXATION (frontier node u at depth d scanning edge u->v emits
+    (d+1, v, u) whether or not v is new — PrevNbrCounter records every
+    previous-neighbor encounter, GraphUtils.scala:46-67), plus (0, seed,
+    null) rows. Returns (steps, out_ids, prevs) with prev < 0 encoding null."""
+    n = len(ids)
+    seeds = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    spos_all = np.searchsorted(ids, seeds)
+    in_graph = (spos_all < n) & (ids[np.minimum(spos_all, max(n - 1, 0))] == seeds) if n else np.zeros(len(seeds), bool)
+    order = np.argsort(si, kind="stable")
+    s_sorted, d_sorted = si[order], di[order]
+    indptr = np.searchsorted(s_sorted, np.arange(n + 1))
+    outdeg = np.diff(indptr)
+    expandable = np.ones(n, dtype=bool) if max_degree is None else (outdeg <= max_degree)
+    depth_of = np.full(n, -1, dtype=np.int64)
+    frontier = spos_all[in_graph]
+    depth_of[frontier] = 0
+    steps = [np.zeros(len(seeds), dtype=np.int64)]
+    evs = [seeds]
+    prevs = [np.full(len(seeds), -1, dtype=np.int64)]
+    depth = 0
+    while frontier.size and (max_depth is None or depth < max_depth):
+        f = frontier[expandable[frontier]]
+        starts, counts = indptr[f], outdeg[f]
+        tot = int(counts.sum())
+        if tot == 0:
+            break
+        seg = np.cumsum(counts) - counts
+        pos = (np.arange(tot, dtype=np.int64) - np.repeat(seg, counts)
+               + np.repeat(starts, counts))
+        nbrs = d_sorted[pos]
+        prev = np.repeat(f, counts)
+        depth += 1
+        steps.append(np.full(tot, depth, dtype=np.int64))
+        evs.append(ids[nbrs])
+        prevs.append(ids[prev])
+        new = np.unique(nbrs[depth_of[nbrs] < 0])
+        depth_of[new] = depth
+        frontier = new
+        if new.size == 0:
+            break
+    return np.concatenate(steps), np.concatenate(evs), np.concatenate(prevs)
+
+
+def triangle_count_numpy(ids: np.ndarray, si: np.ndarray, di: np.ndarray) -> int:
+    """Exact triangle count twin of operators/triangles.py:triangle_count —
+    same degree-oriented wedge enumeration, as two pandas merges. Wedge
+    volume is O(m * degeneracy); callers gate by edge count."""
+    n = len(ids)
+    a = np.minimum(si, di)
+    b = np.maximum(si, di)
+    keep = a != b
+    key = np.unique(a[keep] * np.int64(n) + b[keep])
+    if len(key) == 0:
+        return 0
+    a, b = key // n, key % n
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    lo_first = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
+    lo = np.where(lo_first, a, b)
+    hi = np.where(lo_first, b, a)
+    o = pd.DataFrame({"lo": lo, "hi": hi})
+    w = o.merge(o, on="lo")
+    dx, dy = deg[w["hi_x"].to_numpy()], deg[w["hi_y"].to_numpy()]
+    ordered = (dx < dy) | ((dx == dy) & (w["hi_x"].to_numpy() < w["hi_y"].to_numpy()))
+    wedges = w[ordered].rename(columns={"hi_x": "b", "hi_y": "c"})[["b", "c"]]
+    closing = o.rename(columns={"lo": "b", "hi": "c"})
+    return int(len(wedges.merge(closing, on=["b", "c"])))
+
+
+def ppr_numpy(
+    ids: np.ndarray,
+    si: np.ndarray,
+    di: np.ndarray,
+    sources: np.ndarray,
+    reset_prob: float,
+    max_iterations: int,
+    tolerance: float,
+):
+    """Exact personalized-PageRank power iteration twin of
+    operators/traversals.py:personalized_pagerank (reference semantics of
+    calculatePersonalizedReputation, GraphUtils.scala): teleport mass goes to
+    the source set uniformly; dangling mass also returns to the sources."""
+    n = len(ids)
+    sources = np.unique(np.asarray(sources, dtype=np.int64))
+    spos = np.searchsorted(ids, sources)
+    # seeds absent from the graph keep their mass share but receive none
+    # (matching the distributed left-join onto the vertex table)
+    in_graph = (spos < n) & (ids[np.minimum(spos, n - 1)] == sources)
+    reset = np.zeros(n)
+    reset[spos[in_graph]] = 1.0 / len(sources)
+    outdeg = np.bincount(si, minlength=n)
+    dangling = outdeg == 0
+    w = (1.0 - reset_prob) / np.maximum(outdeg, 1).astype(np.float64)
+    pr = reset.copy()
+    ws = w[si]
+    it = 0
+    error = 100.0 + tolerance
+    while it < max_iterations and error > tolerance:
+        dangle = (1.0 - reset_prob) * float(pr[dangling].sum())
+        gathered = np.bincount(di, weights=pr[si] * ws, minlength=n)
+        new_pr = gathered + (reset_prob + dangle) * reset
+        error = float(np.abs(new_pr - pr).sum())
+        pr = new_pr
+        it += 1
+    return pr, error, it

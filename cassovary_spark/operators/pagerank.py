@@ -65,6 +65,7 @@ def pagerank(
     checkpoint_every: int = 1,
     resume: bool = False,
     gather_engine: str = "join",
+    engine: str = "auto",
 ) -> PageRankResult:
     """Run PageRank over a directed ``edges(src, dst)`` DataFrame.
 
@@ -74,15 +75,37 @@ def pagerank(
     ``gather_engine``: "join" (pure Catalyst join+groupBy) or "pandas"
     (CSR-block combine in Arrow-vectorized pandas, operators/csr.py) — same
     results, alternative physical strategy.
+
+    ``engine``: "auto" collapses graphs under plans.LOCAL_EDGE_THRESHOLD
+    edges to one vectorized in-memory power iteration (COST-aware choice —
+    see operators/local_engine.py; equality-tested vs the distributed path);
+    "distributed"/"local" force a path. Checkpointed/resumed runs always use
+    the distributed path.
     """
     spark = edges.sparkSession
     edges = edges.select("src", "dst")
     # partition count scales with the edge count (capped by
     # spark.sql.shuffle.partitions) — one cheap pre-scan buys every superstep
     # a task count matched to the data (plans.choose_partitions)
-    from cassovary_spark.plans import choose_partitions
+    from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions, superstep_conf
 
-    p = choose_partitions(spark, edges, num_partitions)
+    m0 = edges.count()
+    if engine == "auto" and checkpoint is None and gather_engine == "join":
+        engine = "local" if m0 <= LOCAL_EDGE_THRESHOLD else "distributed"
+    if engine == "local":
+        from cassovary_spark.operators import local_engine as LE
+
+        ids, si, di = LE.edges_to_numpy(edges)
+        if len(ids) == 0:
+            empty = spark.createDataFrame([], "id long, pagerank double")
+            return PageRankResult(empty, 0.0, 0, 0, 0)
+        pr, error, its, history = LE.pagerank_numpy(
+            ids, si, di, damping, max_iterations, tolerance
+        )
+        ranks = LE.result_df(spark, ids, {"pagerank": pr}, "id long, pagerank double")
+        return PageRankResult(ranks, error, its, len(ids), m0, history)
+
+    p = choose_partitions(spark, m0, num_partitions)
     outdeg = out_degrees(edges)
 
     # vertex table with dangling flag, stationary across supersteps.
@@ -112,7 +135,8 @@ def pagerank(
         .sortWithinPartitions("src")
         .persist()
     )
-    m = wedges.count()
+    wedges.count()
+    m = m0
 
     damping_amount = (1.0 - damping) / n
 
@@ -153,69 +177,71 @@ def pagerank(
     import time as _time
 
     iteration = start_iter
-    while not terminated(iteration, error):
-        _t0 = _time.time()
-        dangle_sum = damping * dangle_mass / n
+    # small graphs: AQE off + shuffle partitions pinned to p for the loop
+    with superstep_conf(spark, p, m):
+      while not terminated(iteration, error):
+          _t0 = _time.time()
+          dangle_sum = damping * dangle_mass / n
 
-        # MERGE hints pin sort-merge joins: never broadcast the O(V) rank
-        # table (a per-superstep driver roundtrip, fatal at scale), and the
-        # pre-sorted cached sides make SMJ sort only the small fresh side.
-        if gather_engine == "pandas":
-            from cassovary_spark.operators.csr import pandas_gather_sum
+          # MERGE hints pin sort-merge joins: never broadcast the O(V) rank
+          # table (a per-superstep driver roundtrip, fatal at scale), and the
+          # pre-sorted cached sides make SMJ sort only the small fresh side.
+          if gather_engine == "pandas":
+              from cassovary_spark.operators.csr import pandas_gather_sum
 
-            contribs = pandas_gather_sum(wedges, ranks)
-        else:
-            contribs = (
-                wedges.hint("merge")
-                .join(ranks.select(F.col("id").alias("src"), "pagerank"), "src")
-                .groupBy("dst")
-                .agg(F.sum(F.col("w") * F.col("pagerank")).alias("gathered"))
-            )
-        # the rank table itself is the full vertex set, so the update join is
-        # ranks (not verts) x contribs — and the T1 error + next dangling
-        # mass are collected via ``observe`` DURING the state-write job
-        # (CollectMetrics runs as the rows stream to the sink), so each
-        # superstep is exactly ONE job with ONE read of the previous state
-        # and ONE write of the new state — no separate stats scan.
-        new_ranks = (
-            ranks.hint("merge")
-            .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                (
-                    F.coalesce(F.col("gathered"), F.lit(0.0))
-                    + F.lit(damping_amount)
-                    + F.lit(dangle_sum)
-                ).alias("pagerank"),
-                "is_dangling",
-                F.col("pagerank").alias("prev"),
-            )
-            .repartition(p, "id")
-        )
-        obs = Observation()
-        observed = new_ranks.observe(
-            obs,
-            F.sum(F.abs(F.col("prev") - F.col("pagerank"))).alias("e"),
-            F.sum(F.when(F.col("is_dangling"), F.col("pagerank"))).alias("d"),
-        ).drop("prev")
-        new_ranks = scratch.roundtrip(observed, bucket_by="id", num_buckets=p)
-        stats = obs.get
-        error = stats["e"]
-        dangle_mass = stats["d"] or 0.0
-        iteration += 1
-        row = {
-            "iteration": iteration,
-            "error": error,
-            "dangle_sum": dangle_sum,
-            "node_count": n,
-            "edge_count": m,
-            "wall_sec": round(_time.time() - _t0, 3),
-            "state_bucketed": scratch._bucketing_ok,
-        }
-        history.append(row)
-        if checkpoint is not None and iteration % checkpoint_every == 0:
-            new_ranks = checkpoint.save(iteration, new_ranks, row)
-        ranks = new_ranks
+              contribs = pandas_gather_sum(wedges, ranks)
+          else:
+              contribs = (
+                  wedges.hint("merge")
+                  .join(ranks.select(F.col("id").alias("src"), "pagerank"), "src")
+                  .groupBy("dst")
+                  .agg(F.sum(F.col("w") * F.col("pagerank")).alias("gathered"))
+              )
+          # the rank table itself is the full vertex set, so the update join is
+          # ranks (not verts) x contribs — and the T1 error + next dangling
+          # mass are collected via ``observe`` DURING the state-write job
+          # (CollectMetrics runs as the rows stream to the sink), so each
+          # superstep is exactly ONE job with ONE read of the previous state
+          # and ONE write of the new state — no separate stats scan.
+          new_ranks = (
+              ranks.hint("merge")
+              .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+              .select(
+                  "id",
+                  (
+                      F.coalesce(F.col("gathered"), F.lit(0.0))
+                      + F.lit(damping_amount)
+                      + F.lit(dangle_sum)
+                  ).alias("pagerank"),
+                  "is_dangling",
+                  F.col("pagerank").alias("prev"),
+              )
+              .repartition(p, "id")
+          )
+          obs = Observation()
+          observed = new_ranks.observe(
+              obs,
+              F.sum(F.abs(F.col("prev") - F.col("pagerank"))).alias("e"),
+              F.sum(F.when(F.col("is_dangling"), F.col("pagerank"))).alias("d"),
+          ).drop("prev")
+          new_ranks = scratch.roundtrip(observed, bucket_by="id", num_buckets=p)
+          stats = obs.get
+          error = stats["e"]
+          dangle_mass = stats["d"] or 0.0
+          iteration += 1
+          row = {
+              "iteration": iteration,
+              "error": error,
+              "dangle_sum": dangle_sum,
+              "node_count": n,
+              "edge_count": m,
+              "wall_sec": round(_time.time() - _t0, 3),
+              "state_bucketed": scratch._bucketing_ok,
+          }
+          history.append(row)
+          if checkpoint is not None and iteration % checkpoint_every == 0:
+              new_ranks = checkpoint.save(iteration, new_ranks, row)
+          ranks = new_ranks
 
     # materialize the final state BEFORE closing the scratch (the frame is
     # backed by the last scratch table); close() frees per-call state dirs +

@@ -30,30 +30,38 @@ def _ranked_list(col: str):
     )
 
 
-def visits_counter(events: DataFrame) -> DataFrame:
+def visits_counter(events: DataFrame, weight_col: str | None = None) -> DataFrame:
     """Visit multiplicity per node, ordered (count desc, id asc) like
     VisitsCounter.infoAllNodes iteration (VisitsCounter.scala:40-57).
 
-    ``events`` needs an ``id`` column (one row per visit)."""
+    ``events`` needs an ``id`` column (one row per visit), or — for WEIGHTED
+    event logs like ``all_paths_walk(events=True)`` where one row stands for
+    ``cnt`` identical visits — pass ``weight_col``."""
+    agg = F.count("*") if weight_col is None else F.sum(weight_col)
     return (
         events.groupBy("id")
-        .agg(F.count("*").alias("visits"))
+        .agg(agg.alias("visits"))
         .orderBy(F.desc("visits"), F.asc("id"))
     )
 
 
-def prev_nbr_counter(events: DataFrame, k: int = 3) -> DataFrame:
+def prev_nbr_counter(
+    events: DataFrame, k: int = 3, weight_col: str | None = None
+) -> DataFrame:
     """Top-k previous neighbors per node by visit count
     (PrevNbrCounter.scala:25-50; ties break (count desc, prev asc) — the
     reference's priority-queue tie order is unspecified, fixed here for
     determinism).
 
     ``events`` needs ``(id, prev)``; rows with null prev (walk starts /
-    resets) are ignored. Returns ``(id, prev_nbrs array<long>)``."""
+    resets) are ignored. ``weight_col`` treats each row as that many
+    encounters (weighted logs: ``all_paths_walk(events=True)``).
+    Returns ``(id, prev_nbrs array<long>)``."""
+    agg = F.count("*") if weight_col is None else F.sum(weight_col)
     counts = (
         events.filter(F.col("prev").isNotNull())
         .groupBy("id", "prev")
-        .agg(F.count("*").alias("cnt"))
+        .agg(agg.alias("cnt"))
     )
     w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("prev"))
     return (

@@ -17,7 +17,8 @@ Scale design: every traversal is a frontier DataFrame advanced by a
 co-partitioned join against the stationary edge table; ``visited`` state is a
 cumulative DataFrame, lineage cut each level. Random walks keep one row per
 walker (millions of walkers = one modest DataFrame) and sample neighbors
-JVM-side via ``F.rand`` over grouped adjacency arrays — no per-row Python.
+JVM-side via md5-derived uniforms over grouped adjacency arrays (see
+``_walk_uniform``) — no per-row Python, reproducible under any partitioning.
 """
 
 from __future__ import annotations
@@ -49,16 +50,51 @@ def bfs(
     max_depth: int | None = None,
     max_degree: int | None = None,
     num_partitions: int | None = None,
+    engine: str = "auto",
+    events: bool = False,
 ) -> DataFrame:
     """Visit-once BFS; returns ``(id, depth)`` of first visit.
 
     ``max_degree``: hub nodes (out-degree > max_degree) are visited but not
     expanded, matching Walk.Limits semantics (graph/Traverser.scala:96-99).
+
+    ``events=True`` returns the EVENT LOG instead: one ``(step, id, prev)``
+    row per edge relaxation — a frontier node u at depth d scanning edge
+    u->v emits (d+1, v, u) whether or not v is newly visited (the
+    reference's PrevNbrCounter records every previous-neighbor encounter on
+    a bfsWalk, graph/GraphUtils.scala:46-67) — plus (0, seed, null) rows, so
+    ``tourists.prev_nbr_counter`` / ``visits_counter`` compose with batch
+    BFS exactly as with random walks.
     """
     spark = edges.sparkSession
-    from cassovary_spark.plans import choose_partitions
+    from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions
 
-    p = choose_partitions(spark, edges, num_partitions)
+    m0 = edges.count()
+    if engine == "auto":
+        engine = "local" if m0 <= LOCAL_EDGE_THRESHOLD else "distributed"
+    if engine == "local":
+        from cassovary_spark.operators import local_engine as LE
+        import numpy as np
+
+        ids, si, di = LE.edges_to_numpy(edges)
+        if events:
+            steps, eids, prevs = LE.bfs_events_numpy(
+                ids, si, di, seeds, max_depth, max_degree
+            )
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                {"step": steps.astype("int32"), "id": eids,
+                 "prev": pd.array(prevs, dtype="Int64")}
+            )
+            pdf.loc[pdf["prev"] < 0, "prev"] = pd.NA
+            return spark.createDataFrame(pdf, schema="step int, id long, prev long")
+        out_ids, out_depths = LE.bfs_numpy(ids, si, di, seeds, max_depth, max_degree)
+        return LE.result_df(
+            spark, out_ids, {"depth": out_depths.astype("int32")}, "id long, depth int"
+        )
+
+    p = choose_partitions(spark, m0, num_partitions)
     adj = edges.select("src", "dst")
     if max_degree is not None:
         hubs = out_degrees(edges).filter(F.col("out_degree") > max_degree)
@@ -77,13 +113,33 @@ def bfs(
     scratch = StateScratch(spark, keep_last=1_000_000_000)
     frontier = scratch.roundtrip(_seed_df(spark, seeds).withColumn("depth", F.lit(0)))
     levels = [frontier]
+    ev_frames = [
+        frontier.select(
+            F.lit(0).alias("step"), "id", F.lit(None).cast("long").alias("prev")
+        )
+    ]
     vbase = [frontier.select("id")]
     visited = _union_all(vbase)
     depth = 0
     while max_depth is None or depth < max_depth:
+        expand = frontier.join(adj, frontier.id == adj.src)
+        if events:
+            # per-level relaxation log, written once (same per-level-file
+            # pattern as the frontier itself); the next frontier derives
+            # from it so the expansion join runs once either way
+            relax = scratch.roundtrip(
+                expand.select(
+                    F.lit(depth + 1).alias("step"),
+                    F.col("dst").alias("id"),
+                    F.col("src").alias("prev"),
+                )
+            )
+            ev_frames.append(relax)
+            nxt_ids = relax.select("id")
+        else:
+            nxt_ids = expand.select(F.col("dst").alias("id"))
         nxt = (
-            frontier.join(adj, frontier.id == adj.src)
-            .select(F.col("dst").alias("id"))
+            nxt_ids
             .distinct()
             .join(visited, "id", "left_anti")
             .withColumn("depth", F.lit(depth + 1))
@@ -102,7 +158,7 @@ def bfs(
         visited = _union_all(vbase)
         frontier = nxt
         depth += 1
-    result = materialize(_union_all(levels))
+    result = materialize(_union_all(ev_frames if events else levels))
     scratch.close()
     adj.unpersist()
     return result
@@ -157,13 +213,24 @@ def multi_source_bfs(
 
 
 def all_paths_walk(
-    edges: DataFrame, seeds: list[int], max_depth: int, num_partitions: int | None = None
+    edges: DataFrame, seeds: list[int], max_depth: int, num_partitions: int | None = None,
+    events: bool = False,
 ) -> DataFrame:
     """BFS-order walk with unlimited revisits (graph/Traverser.scala:463-478).
 
     Returns ``(id, visits)`` — the number of distinct paths of length <=
     max_depth from the seed set reaching each node (seed visit included).
     Level frequencies: f_0 = 1 on seeds; f_{k+1}(v) = sum_{u->v} f_k(u).
+
+    ``events=True`` returns the WEIGHTED event log ``(step, id, prev, cnt)``
+    instead: cnt = number of length-``step`` paths reaching ``id`` whose last
+    hop was prev->id (prev null, cnt 1 on the step-0 seed rows). This is the
+    input ``GraphUtils.allPathsWalk`` feeds its PrevNbrCounter
+    (graph/GraphUtils.scala:46-67): ``tourists.prev_nbr_counter(ev,
+    weight_col='cnt')`` yields the top previous neighbors, and
+    ``visits_counter(ev, weight_col='cnt')`` the visit counts — a per-path
+    (unweighted) log would be combinatorially large; the weighted form is
+    the scale-safe equivalent.
     """
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
@@ -175,17 +242,38 @@ def all_paths_walk(
     # no per-level rewrite of the accumulated counts
     level = materialize(_seed_df(spark, seeds).withColumn("cnt", F.lit(1).cast("long")))
     levels = [level]
-    for _ in range(max_depth):
-        level = (
-            level.join(adj, level.id == adj.src)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("cnt").alias("cnt"))
+    ev_frames = [
+        level.select(
+            F.lit(0).alias("step"), "id",
+            F.lit(None).cast("long").alias("prev"), "cnt",
         )
-        level = materialize(level)
-        if level.isEmpty():
-            break
+    ]
+    step = 0
+    for _ in range(max_depth):
+        step += 1
+        expand = level.join(adj, level.id == adj.src)
+        if events:
+            hops = materialize(
+                expand.groupBy(F.col("dst").alias("id"), F.col("src").alias("prev"))
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            if hops.isEmpty():
+                break
+            ev_frames.append(
+                hops.select(F.lit(step).alias("step"), "id", "prev", "cnt")
+            )
+            level = materialize(hops.groupBy("id").agg(F.sum("cnt").alias("cnt")))
+        else:
+            level = materialize(
+                expand.groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            if level.isEmpty():
+                break
         levels.append(level)
     adj.unpersist()
+    if events:
+        return _union_all(ev_frames)
     return _union_all(levels).groupBy("id").agg(F.sum("cnt").alias("visits"))
 
 
@@ -198,6 +286,28 @@ def _adjacency_lists(edges: DataFrame, p: int) -> DataFrame:
         .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
         .repartition(p, "src")
     )
+
+
+
+def _walk_uniform(tag: str, step: int, seed: int):
+    """Deterministic U[0,1) for walker draws: md5 of "tag|walker|step|seed".
+
+    md5 (not xxhash64/rand) so the SAME stream is reproducible in three
+    places bit-for-bit: Spark (this expression), the pure-Python pytest
+    oracle (hashlib.md5), and a DuckDB SQL oracle — and is independent of
+    partitioning and parallelism, which rand(seed) is not (it seeds per
+    partition). 13 hex chars = 52 bits, exact in a double.
+    """
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit(tag),
+            F.col("walker").cast("string"),
+            F.lit(str(step)),
+            F.lit(str(seed)),
+        )
+    )
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(float(16**13))
 
 
 def random_walk_visits(
@@ -236,7 +346,7 @@ def random_walk_visits(
     for step in range(num_steps):
         stepped = (
             walkers.join(adj, walkers.cur == adj.src, "left")
-            .withColumn("_r", F.rand(seed + step))
+            .withColumn("_r", _walk_uniform("r", step, seed))
             .select(
                 "walker",
                 "home",
@@ -249,7 +359,7 @@ def random_walk_visits(
                         "nbrs",
                         (
                             F.floor(
-                                F.rand(seed * 1000003 + step) * F.size("nbrs")
+                                _walk_uniform("n", step, seed) * F.size("nbrs")
                             ).cast("int")
                             + 1
                         ),
@@ -326,7 +436,7 @@ def random_walk_events(
         reset = (F.col("_r") < F.lit(reset_prob)) | F.col("nbrs").isNull()
         nxt = F.element_at(
             "nbrs",
-            (F.floor(F.rand(seed * 1000003 + step) * F.size("nbrs")).cast("int") + 1),
+            (F.floor(_walk_uniform("n", step, seed) * F.size("nbrs")).cast("int") + 1),
         )
         cols = [
             "walker",
@@ -344,7 +454,7 @@ def random_walk_events(
             )
         stepped = (
             walkers.join(adj, walkers.cur == adj.src, "left")
-            .withColumn("_r", F.rand(seed + step))
+            .withColumn("_r", _walk_uniform("r", step, seed))
             .select(*cols)
             .repartition(p, "cur")
         )
@@ -439,6 +549,7 @@ def personalized_pagerank(
     max_iterations: int = 30,
     tolerance: float = 1e-8,
     num_partitions: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Exact personalized PageRank by power iteration (the deterministic
     counterpart of calculatePersonalizedReputation's Monte-Carlo estimate,
@@ -451,9 +562,26 @@ def personalized_pagerank(
     if not seeds:
         raise ValueError("seeds must be non-empty")
     spark = edges.sparkSession
-    from cassovary_spark.plans import choose_partitions
+    from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions, superstep_conf
 
-    p = choose_partitions(spark, edges, num_partitions)
+    m0 = edges.count()
+    if engine == "auto":
+        engine = "local" if m0 <= LOCAL_EDGE_THRESHOLD else "distributed"
+    if engine == "local":
+        from cassovary_spark.operators import local_engine as LE
+
+        ids, si, di = LE.edges_to_numpy(edges)
+        if len(ids) == 0:
+            return spark.createDataFrame([], "id long, score double")
+        import numpy as np
+
+        score, _err, _its = LE.ppr_numpy(
+            ids, si, di, np.asarray(list(seeds), dtype=np.int64),
+            reset_prob, max_iterations, tolerance,
+        )
+        return LE.result_df(spark, ids, {"score": score}, "id long, score double")
+
+    p = choose_partitions(spark, m0, num_partitions)
     alpha = float(reset_prob)
     d = 1.0 - alpha
 
@@ -495,42 +623,43 @@ def personalized_pagerank(
         ranks.filter(F.col("is_dangling")).agg(F.sum("score").alias("s")).first()["s"]
         or 0.0
     )
-    for _ in range(max_iterations):
-        contribs = (
-            wedges.hint("merge").join(ranks.select(F.col("id").alias("src"), "score"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("w") * F.col("score")).alias("gathered"))
-        )
-        new_ranks = (
-            ranks.hint("merge")
-            .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                (
-                    F.coalesce(F.col("gathered"), F.lit(0.0))
-                    + (F.lit(alpha) + F.lit(d) * F.lit(dangle)) * F.col("seed_mass")
-                ).alias("score"),
-                "is_dangling",
-                "seed_mass",
-                F.col("score").alias("prev"),
-            )
-            .repartition(p, "id")
-        )
-        obs = Observation()
-        new_ranks = scratch.roundtrip(
-            new_ranks.observe(
-                obs,
-                F.sum(F.abs(F.col("prev") - F.col("score"))).alias("e"),
-                F.sum(F.when(F.col("is_dangling"), F.col("score"))).alias("d"),
-            ).drop("prev"),
-            bucket_by="id", num_buckets=p,
-        )
-        stats = obs.get
-        err = stats["e"]
-        dangle = stats["d"] or 0.0
-        ranks = new_ranks
-        if err <= tolerance:
-            break
+    with superstep_conf(spark, p, m0):
+      for _ in range(max_iterations):
+          contribs = (
+              wedges.hint("merge").join(ranks.select(F.col("id").alias("src"), "score"), "src")
+              .groupBy("dst")
+              .agg(F.sum(F.col("w") * F.col("score")).alias("gathered"))
+          )
+          new_ranks = (
+              ranks.hint("merge")
+              .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+              .select(
+                  "id",
+                  (
+                      F.coalesce(F.col("gathered"), F.lit(0.0))
+                      + (F.lit(alpha) + F.lit(d) * F.lit(dangle)) * F.col("seed_mass")
+                  ).alias("score"),
+                  "is_dangling",
+                  "seed_mass",
+                  F.col("score").alias("prev"),
+              )
+              .repartition(p, "id")
+          )
+          obs = Observation()
+          new_ranks = scratch.roundtrip(
+              new_ranks.observe(
+                  obs,
+                  F.sum(F.abs(F.col("prev") - F.col("score"))).alias("e"),
+                  F.sum(F.when(F.col("is_dangling"), F.col("score"))).alias("d"),
+              ).drop("prev"),
+              bucket_by="id", num_buckets=p,
+          )
+          stats = obs.get
+          err = stats["e"]
+          dangle = stats["d"] or 0.0
+          ranks = new_ranks
+          if err <= tolerance:
+              break
 
     result = materialize(ranks.select("id", "score"))
     scratch.close()

@@ -57,8 +57,19 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> int:
+def triangle_count(edges: DataFrame, engine: str = "auto") -> int:
     """Exact number of triangles in the undirected view of ``edges``."""
+    if engine == "auto":
+        # wedge volume is O(m * degeneracy), so the in-memory cutoff is
+        # tighter than the iterative operators' LOCAL_EDGE_THRESHOLD
+        engine = "local" if edges.count() <= 1_000_000 else "distributed"
+    if engine == "local":
+        from cassovary_spark.operators import local_engine as LE
+
+        ids, si, di = LE.edges_to_numpy(edges)
+        if len(ids) == 0:
+            return 0
+        return LE.triangle_count_numpy(ids, si, di)
     o = _oriented(edges).persist()
     # wedges at the low-degree apex: (a->b, a->c); order the two spokes by the
     # same (degree, id) total order so each wedge is generated once.

@@ -4,8 +4,10 @@ layout decisions Catalyst doesn't make."""
 
 from cassovary_spark.plans.layout import (
     DualOrientationEdges,
+    LOCAL_EDGE_THRESHOLD,
     choose_partitions,
     salted_gather_sum,
+    superstep_conf,
     degree_buckets,
 )
 from cassovary_spark.plans.partitioners import (
@@ -18,7 +20,9 @@ from cassovary_spark.plans.partitioners import (
 
 __all__ = [
     "DualOrientationEdges",
+    "LOCAL_EDGE_THRESHOLD",
     "choose_partitions",
+    "superstep_conf",
     "salted_gather_sum",
     "degree_buckets",
     "random_node_mapper",

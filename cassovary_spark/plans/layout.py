@@ -23,6 +23,39 @@ from pyspark.sql import functions as F
 
 
 ROWS_PER_PARTITION = 2_000_000
+SMALL_ROWS_PER_PARTITION = 40_000
+
+# below this edge count an iterative operator's whole state fits one task's
+# memory comfortably and the distributed superstep machinery is pure fixed
+# cost; the COST-paper-aware adaptive engine (operators) collapses to a
+# single vectorized in-memory pass instead (the reference's own execution
+# model), with semantics equality-tested against the distributed path
+LOCAL_EDGE_THRESHOLD = 4_000_000
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def superstep_conf(spark, num_partitions: int, rows: int):
+    """Session conf scope for a small graph's superstep loop: AQE off (its
+    per-query re-planning is ~0.07s/superstep of pure overhead when every
+    stage is already tiny — measured r2) and ``spark.sql.shuffle.partitions``
+    pinned to the operator's partition count so intermediate exchanges match
+    the bucketed state layout. No-op at scale (rows >= LOCAL_EDGE_THRESHOLD),
+    where AQE skew-splitting is worth its planning cost."""
+    if rows >= LOCAL_EDGE_THRESHOLD:
+        yield
+        return
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 def choose_partitions(spark, edges, requested: int | None = None) -> int:
@@ -40,8 +73,15 @@ def choose_partitions(spark, edges, requested: int | None = None) -> int:
     if requested:
         return requested
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    floor = spark.sparkContext.defaultParallelism
     n_rows = edges if isinstance(edges, int) else edges.count()
+    # small graphs don't get the full-parallelism floor: per-superstep task
+    # scheduling dominates below ~40k rows/partition (measured r2 sweep:
+    # 319k-edge PageRank superstep 0.52s at p=8/16 vs 0.67s at p=32), so the
+    # floor is capped at one partition per SMALL_ROWS_PER_PARTITION rows
+    floor = min(
+        spark.sparkContext.defaultParallelism,
+        max(1, -(-int(n_rows) // SMALL_ROWS_PER_PARTITION)),
+    )
     need = max(floor, -(-int(n_rows) // ROWS_PER_PARTITION))
     return max(1, min(cap, need))
 

@@ -223,3 +223,83 @@ def test_no_expensive_expression_reinlining(spark, docs):
     # tokenization (split) materialized once, not once per referencing expr
     assert plan(quality_score(docs)).count("split(") <= 1
     assert plan(language_id(docs)).count("split(") <= 1
+
+
+def test_ngram_jaccard_caps_equal_uncapped(spark):
+    """On a corpus with no hot shingles, max_shingle_freq and candidates
+    modes must reproduce the exact all-pairs output (scores stay exact)."""
+    from cassovary_spark.functions import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "pack my box with five dozen liquor jugs"),
+        (4, "pack my box with five dozen liquor mugs"),
+        (5, "completely unrelated text about spark engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {(r["a"], r["b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert base, "expected some near-dup pairs"
+    capped = {(r["a"], r["b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=5).collect()}
+    assert capped == base
+    cand = minhash_lsh_candidates(docs, num_hashes=16, bands=8)
+    verified = {(r["a"], r["b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(docs, threshold=0.5, candidates=cand).collect()}
+    # verify-only mode scores exactly; it may only MISS pairs LSH missed
+    assert set(verified) <= set(base)
+    for k, v in verified.items():
+        assert abs(v - base[k]) < 1e-12
+    # a hot-shingle cap of 1 kills every shared shingle -> no candidates
+    assert ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_freq=1).count() == 0
+
+
+def test_simhash_cap_equal_uncapped(spark):
+    from cassovary_spark.functions import simhash_near_dups
+
+    rows = [(i, f"document number {i} with shared scaffolding text") for i in range(8)]
+    rows.append((100, rows[0][1]))  # exact clone of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {(r["a"], r["b"], r["hamming"]) for r in simhash_near_dups(docs, max_hamming=3).collect()}
+    capped = {(r["a"], r["b"], r["hamming"])
+              for r in simhash_near_dups(docs, max_hamming=3, max_bucket_size=20).collect()}
+    assert capped == base and (0, 100, 0) in base
+    # cap of 1 drops every shared bucket
+    assert simhash_near_dups(docs, max_hamming=3, max_bucket_size=1).count() == 0
+
+
+def test_embedding_near_dups_bucketed_vs_exact(spark):
+    import math
+
+    from cassovary_spark.functions import embedding_near_dups
+
+    # clusters of near-identical vectors + noise
+    rows = []
+    for c in range(4):
+        for j in range(3):
+            base = [math.cos(c), math.sin(c), 0.1 * c, 1.0]
+            rows.append((c * 10 + j, [x + 0.001 * j for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r["a"], r["b"]) for r in embedding_near_dups(emb, 0.999, exact=True).collect()}
+    lsh = {(r["a"], r["b"]) for r in embedding_near_dups(emb, 0.999, dim=4).collect()}
+    assert lsh <= exact
+    # near-identical pairs collide in some table with overwhelming probability
+    assert lsh == exact
+    import pytest
+
+    with pytest.raises(ValueError):
+        embedding_near_dups(emb, 0.9)  # no dim, not exact -> loud error
+
+
+def test_densify_ids_multi_partition_byte_identical(spark):
+    from cassovary_spark.graph import densify_ids
+
+    vals = [(f"ext_{i:04d}",) for i in range(997)]
+    df = spark.createDataFrame(vals, "name string").repartition(13)
+    got = {r["external_id"]: r["id"] for r in densify_ids(df, "name", num_partitions=7).collect()}
+    want = {f"ext_{i:04d}": i for i in range(997)}
+    assert got == want
+    # single-partition degenerate case
+    got1 = {r["external_id"]: r["id"] for r in densify_ids(df, "name", num_partitions=1).collect()}
+    assert got1 == want

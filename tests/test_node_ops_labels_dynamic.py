@@ -161,3 +161,33 @@ def test_transcripts_real_conv_ids(spark):
     e = turn_edges(t).collect()
     assert len(e) == 2
     assert all(r["src"] is not None and r["dst"] is not None for r in e)
+
+
+def test_dynamic_apply_delta_df(spark, tmp_path):
+    """DataFrame deltas compose with API edits in call order; stream ->
+    delta log -> compact -> algorithm runs end-to-end without driver
+    materialization of the deltas."""
+    from cassovary_spark.dynamic import DynamicGraph
+    from cassovary_spark.operators import pagerank
+
+    base = edges_df(spark, [(1, 2), (2, 3)])
+    g = DynamicGraph(base)
+    g.add_edge(3, 4)                      # epoch 0 (literal)
+    deltas = spark.createDataFrame(
+        [(2, 3, -1, 0), (4, 5, 1, 1), (4, 5, -1, 2), (5, 6, 1, 3)],
+        "src long, dst long, op int, seq long",
+    )
+    g.apply_delta_df(deltas)              # epoch 1: remove 2->3, net-noop 4->5, add 5->6
+    g.add_edge(2, 3)                      # epoch 2: re-add beats epoch-1 removal
+    cur = {(r["src"], r["dst"]) for r in g.current_edges().collect()}
+    assert cur == {(1, 2), (2, 3), (3, 4), (5, 6)}
+    # last-writer-wins ACROSS epochs: later df delta removes an API add
+    g.apply_delta_df(
+        spark.createDataFrame([(3, 4, -1, 0)], "src long, dst long, op int, seq long")
+    )
+    cur2 = {(r["src"], r["dst"]) for r in g.current_edges().collect()}
+    assert cur2 == {(1, 2), (2, 3), (5, 6)}
+    # compact + run an algorithm on the snapshot
+    g2 = g.compact(str(tmp_path / "snap"))
+    assert {(r["src"], r["dst"]) for r in g2.base.collect()} == cur2
+    assert pagerank(g2.current_edges(), max_iterations=3).ranks.count() == 5

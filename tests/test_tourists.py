@@ -131,3 +131,151 @@ def test_walk_events_feed_visits_counter_equals_random_walk_visits(spark):
     v1 = {r["id"]: r["visits"] for r in visits_counter(ev).collect()}
     v2 = {r["id"]: r["visits"] for r in random_walk_visits(e, **kw).collect()}
     assert v1 == v2
+
+
+def _md5_uniform(tag: str, walker: int, step: int, seed: int) -> float:
+    """Exact Python mirror of operators/traversals._walk_uniform."""
+    import hashlib
+
+    h = hashlib.md5(f"{tag}|{walker}|{step}|{seed}".encode()).hexdigest()
+    return int(h[:13], 16) / float(16**13)
+
+
+def _oracle_walk(edge_list, start_nodes, num_steps, reset_prob, num_walkers, seed):
+    """Sequential simulation of the md5-hash walker RNG — bit-exact twin of
+    random_walk_visits/random_walk_events."""
+    adj: dict[int, list[int]] = {}
+    for s, d in edge_list:
+        adj.setdefault(s, []).append(d)
+    for k in adj:
+        adj[k] = sorted(adj[k])
+    events = []
+    for w in range(num_walkers):
+        home = start_nodes[w % len(start_nodes)]
+        cur = home
+        events.append((w, 0, cur, None))
+        for step in range(num_steps):
+            r = _md5_uniform("r", w, step, seed)
+            nbrs = adj.get(cur)
+            if r < reset_prob or not nbrs:
+                prev, cur = None, home
+            else:
+                idx = int(_md5_uniform("n", w, step, seed) * len(nbrs))
+                prev, cur = cur, nbrs[idx]
+            events.append((w, step + 1, cur, prev))
+    return events
+
+
+def test_walk_events_exact_oracle(spark):
+    e = edges_df(spark, G6)
+    got = {
+        (r["walker"], r["step"], r["id"], r["prev"])
+        for r in random_walk_events(
+            e, start_nodes=[10, 11], num_steps=6, reset_prob=0.25,
+            num_walkers=9, seed=17,
+        ).collect()
+    }
+    want = set(_oracle_walk(G6, [10, 11], 6, 0.25, 9, 17))
+    assert got == want
+
+
+def test_walk_visits_exact_oracle_and_partition_independence(spark):
+    from cassovary_spark.operators import random_walk_visits
+    from collections import Counter
+
+    e = edges_df(spark, G6)
+    got = {
+        r["id"]: r["visits"]
+        for r in random_walk_visits(
+            e, [10], num_steps=5, reset_prob=0.3, num_walkers=11, seed=29
+        ).collect()
+    }
+    want = Counter(ev[2] for ev in _oracle_walk(G6, [10], 5, 0.3, 11, 29))
+    assert got == dict(want)
+    # partitioning must not change a single draw
+    got2 = {
+        r["id"]: r["visits"]
+        for r in random_walk_visits(
+            e.repartition(5), [10], num_steps=5, reset_prob=0.3,
+            num_walkers=11, seed=29, num_partitions=3,
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_bfs_events_oracle_and_prev_nbr(spark):
+    """bfs(events=True) emits one row per edge relaxation + seed rows; the
+    python oracle mirrors the visit-once frontier expansion exactly."""
+    from collections import Counter
+
+    from cassovary_spark.operators import bfs
+
+    def oracle(edge_list, seeds, max_depth=None, max_degree=None):
+        adj: dict[int, list[int]] = {}
+        for s, d in edge_list:
+            adj.setdefault(s, []).append(d)
+        outdeg = {k: len(v) for k, v in adj.items()}
+        seeds = sorted(set(seeds))
+        present = {x for e in edge_list for x in e}
+        events = Counter((0, s, None) for s in seeds)
+        frontier = [s for s in seeds if s in present]
+        seen = set(frontier)
+        depth = 0
+        while frontier and (max_depth is None or depth < max_depth):
+            nxt = set()
+            any_edge = False
+            for u in frontier:
+                if max_degree is not None and outdeg.get(u, 0) > max_degree:
+                    continue
+                for v in adj.get(u, []):
+                    any_edge = True
+                    events[(depth + 1, v, u)] += 1
+                    if v not in seen:
+                        nxt.add(v)
+            if not any_edge:
+                break
+            depth += 1
+            seen |= nxt
+            frontier = sorted(nxt)
+        return events
+
+    for engine in ("local", "distributed"):
+        for kwargs in ({}, {"max_depth": 1}, {"max_degree": 2}):
+            ev = bfs(edges_df(spark, G6), [10, 777], engine=engine, events=True, **kwargs)
+            got = Counter(
+                (r["step"], r["id"], r["prev"]) for r in ev.collect()
+            )
+            assert got == oracle(G6, [10, 777], **kwargs), (engine, kwargs)
+
+
+def test_all_paths_events_weighted_tourists(spark):
+    from cassovary_spark.operators import all_paths_walk, prev_nbr_counter, visits_counter
+
+    e = edges_df(spark, G6)
+    ev = all_paths_walk(e, [10], max_depth=3, events=True)
+    # weighted visits == plain all_paths_walk visits
+    vis = {r["id"]: r["visits"] for r in visits_counter(ev, weight_col="cnt").collect()}
+    plain = {r["id"]: r["visits"] for r in all_paths_walk(e, [10], max_depth=3).collect()}
+    assert vis == plain
+    # prev-nbr oracle: count last-hop path frequencies by hand
+    adj: dict[int, list[int]] = {}
+    for s, d in G6:
+        adj.setdefault(s, []).append(d)
+    level = {10: 1}
+    hop: dict[tuple[int, int], int] = {}
+    for _ in range(3):
+        nxt: dict[int, int] = {}
+        for u, c in level.items():
+            for v in adj.get(u, []):
+                nxt[v] = nxt.get(v, 0) + c
+                hop[(v, u)] = hop.get((v, u), 0) + c
+        level = nxt
+    want = {}
+    for (v, u), c in hop.items():
+        want.setdefault(v, []).append((-c, u))
+    want = {v: [u for _, u in sorted(lst)[:3]] for v, lst in want.items()}
+    got = {
+        r["id"]: list(r["prev_nbrs"])
+        for r in prev_nbr_counter(ev, k=3, weight_col="cnt").collect()
+    }
+    assert got == want
