@@ -385,6 +385,155 @@ scored AS (
   JOIN bits y ON y.doc_id = cand.b
 )
 SELECT a, b, hamming FROM scored WHERE hamming <= {max_hamming}"""
+def _simhash_capped_sql(max_hamming: int, max_bucket_size: int) -> str:
+    """Capped SimHash near-dups as SQL: same bit-vote pipeline as
+    _simhash_pairs_sql, but candidates come from a long-form (chunk, val)
+    bucket table filtered by the hot-bucket cap — mirroring
+    functions/dedup.py simhash_near_dups(max_bucket_size=...)."""
+    va = ",\n  ".join(
+        f"sum(CASE WHEN ((lo >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32)
+    )
+    vb = ",\n  ".join(
+        f"sum(CASE WHEN ((hi >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{32 + j}"
+        for j in range(32)
+    )
+    bits = ",\n  ".join(f"(v{j} > 0)::INT AS b{j}" for j in range(64))
+    chunks = ",\n  ".join(
+        "(" + " + ".join(f"b{16 * c + k} * {1 << k}" for k in range(16)) + f") AS c{c}"
+        for c in range(4)
+    )
+    ham = " + ".join(f"(x.b{j} <> y.b{j})::INT" for j in range(64))
+    return f"""
+WITH norm AS (SELECT doc_id, {_DOC_NORM} AS t FROM documents),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS tk
+  FROM norm
+),
+hx AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tk), 1, 8))::BIGINT AS lo,
+         ('0x' || substr(md5(tk), 9, 8))::BIGINT AS hi
+  FROM tok
+),
+votes AS (SELECT doc_id,
+  {va},
+  {vb}
+FROM hx GROUP BY doc_id),
+bits AS (SELECT doc_id,
+  {bits}
+FROM votes),
+chun AS (SELECT doc_id,
+  {chunks}
+FROM bits),
+cl AS (
+  SELECT doc_id, 0 AS chunk, c0 AS val FROM chun
+  UNION ALL SELECT doc_id, 1, c1 FROM chun
+  UNION ALL SELECT doc_id, 2, c2 FROM chun
+  UNION ALL SELECT doc_id, 3, c3 FROM chun
+),
+small AS (SELECT chunk, val FROM cl GROUP BY chunk, val
+          HAVING count(*) <= {max_bucket_size}),
+clf AS (SELECT cl.* FROM cl JOIN small USING (chunk, val)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM clf x JOIN clf y ON x.chunk = y.chunk AND x.val = y.val
+  WHERE x.doc_id < y.doc_id
+),
+scored AS (
+  SELECT cand.a, cand.b, ({ham}) AS hamming
+  FROM cand
+  JOIN bits x ON x.doc_id = cand.a
+  JOIN bits y ON y.doc_id = cand.b
+)
+SELECT a, b, hamming FROM scored WHERE hamming <= {max_hamming}"""
+
+
+def _emb_near_dups_lsh_sql(
+    dim: int = 64,
+    threshold: float = 0.3,
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+    seed: int = 42,
+) -> str:
+    """LSH-composed embedding near-dups as SQL (functions/embeddings.py
+    embedding_near_dups default path); plane literals from the shared
+    pure-Python generator, as in _lsh_ann_sql."""
+    from cassovary_spark.functions.embeddings import _hyperplanes
+
+    table_selects = []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, planes_per_table, seed + 7919 * t)
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(e, {plane!r}::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        table_selects.append(
+            f"SELECT v, {t} AS t, ({bucket}) AS bucket FROM n"
+        )
+    sig_sql = "\nUNION ALL\n".join(table_selects)
+    return f"""
+WITH b AS (SELECT vec_id AS v, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT v, e, sqrt(list_dot_product(e, e)) AS nrm FROM b),
+sig AS (
+{sig_sql}
+),
+cand AS (
+  SELECT DISTINCT x.v AS a, y.v AS b
+  FROM sig x JOIN sig y ON x.t = y.t AND x.bucket = y.bucket AND x.v < y.v
+),
+scored AS (
+  SELECT cand.a, cand.b,
+         list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) AS score
+  FROM cand JOIN n na ON na.v = cand.a JOIN n nb ON nb.v = cand.b
+)
+SELECT a, b, ROUND(score, 6) AS score FROM scored WHERE score >= {threshold}"""
+
+
+# 16^13 as a double divisor: 13 md5 hex chars = 52 bits, exact in a double
+_WALK_DIV = float(16**13)
+
+
+def _walk_cte(
+    edges_sql: str,
+    home: int,
+    num_walkers: int,
+    num_steps: int,
+    reset_prob: float,
+    seed: int,
+) -> str:
+    """Recursive walker CTE reproducing operators/traversals random walks
+    draw-for-draw: uniforms are md5('tag|walker|step|seed') prefixes (see
+    _walk_uniform), adjacency lists sorted ascending, element pick
+    1 + floor(u * len) — DuckDB lists are 1-indexed like Spark element_at.
+    Emits walk(walker, step, cur, prev) with prev NULL on starts/resets."""
+    r_u = (
+        f"('0x' || substring(md5('r|' || w.walker || '|' || w.step || '|{seed}'), 1, 13))::BIGINT"
+        f" / {_WALK_DIV!r}"
+    )
+    n_u = (
+        f"('0x' || substring(md5('n|' || w.walker || '|' || w.step || '|{seed}'), 1, 13))::BIGINT"
+        f" / {_WALK_DIV!r}"
+    )
+    return f"""
+WITH RECURSIVE edges AS ({edges_sql}),
+adj AS (SELECT src, list_sort(list(dst)) AS nbrs FROM edges GROUP BY src),
+walk(walker, step, cur, prev) AS (
+  SELECT t.range::BIGINT, 0, {home}::BIGINT, NULL::BIGINT FROM range({num_walkers}) t
+  UNION ALL
+  SELECT w.walker, w.step + 1,
+         CASE WHEN ({r_u}) < {reset_prob} OR a.nbrs IS NULL
+              THEN {home}::BIGINT
+              ELSE a.nbrs[1 + floor(({n_u}) * len(a.nbrs))::INT] END,
+         CASE WHEN ({r_u}) < {reset_prob} OR a.nbrs IS NULL
+              THEN NULL::BIGINT ELSE w.cur END
+  FROM walk w LEFT JOIN adj a ON a.src = w.cur
+  WHERE w.step < {num_steps}
+)"""
+
+
 _DOC_TOKENS = (
     "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 )
@@ -654,7 +803,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return dfs_times(_ev_edges(spark, sf), [0])
 
-    def q_ev_walk_visits(spark, sf):  # rows-only (Spark-partition-seeded RNG)
+    def q_ev_walk_visits(spark, sf):
+        # oracle-checked since r2: draws are md5("tag|walker|step|seed")-
+        # derived (traversals._walk_uniform), reproduced bit-for-bit by a
+        # DuckDB recursive CTE
         from cassovary_spark.operators import random_walk_visits
 
         return random_walk_visits(
@@ -662,7 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             num_walkers=50, seed=7,
         )
 
-    def q_ev_walk_prev_nbrs(spark, sf):  # rows-only
+    def q_ev_walk_prev_nbrs(spark, sf):
         from cassovary_spark.operators import prev_nbr_counter, random_walk_events
 
         ev = random_walk_events(
@@ -695,6 +847,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = synth_transcripts(spark, n_convs=100, seed=42)
         res = pagerank(turn_edges(t), max_iterations=PR_ITERS)
         return res.ranks.select("id", F.round("pagerank", 6).alias("pagerank"))
+
+    def q_ev_bfs_events(spark, sf):
+        return bfs(_ev_edges(spark, sf), [0], events=True).select(
+            "step", "id", F.coalesce("prev", F.lit(-1)).alias("prev")
+        )
+
+    def q_ev_all_paths_events(spark, sf):
+        from cassovary_spark.operators import all_paths_walk
+
+        return all_paths_walk(
+            _ev_edges(spark, sf), [0], max_depth=4, events=True
+        ).select("step", "id", F.coalesce("prev", F.lit(-1)).alias("prev"), "cnt")
+
+    def q_doc_ngram_capped(spark, sf):
+        from cassovary_spark.functions import ngram_jaccard_pairs
+
+        d = docs(spark, sf).filter(F.col("doc_id") < 100)
+        return ngram_jaccard_pairs(
+            d, threshold=0.5, max_shingle_freq=20
+        ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+    def q_doc_simhash_capped(spark, sf):
+        return simhash_near_dups(
+            docs(spark, sf), max_hamming=3, max_bucket_size=10
+        ).select("a", "b", "hamming")
+
+    def q_emb_near_dups_lsh(spark, sf):
+        # the LSH-composed (scale-default) form of emb_near_dups; plane
+        # constants shared with the SQL oracle like q_emb_lsh_ann
+        from cassovary_spark.functions import embedding_near_dups
+
+        e = emb(spark, sf)
+        dim = len(e.select("embedding").first()[0])
+        if dim != ANN_DIM:
+            raise ValueError(f"embeddings dim {dim} != ANN_DIM {ANN_DIM}")
+        return embedding_near_dups(e, threshold=0.3, dim=ANN_DIM).select(
+            "a", "b", F.round("score", 6).alias("score")
+        )
+
+    def q_tr_densify(spark, sf):
+        from cassovary_spark.graph import densify_ids
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return densify_ids(ev.select("event_type"), "event_type")
 
     return {
         "cs_edges": q_cs_edges,
@@ -734,6 +930,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_walk_prev_nbrs": q_ev_walk_prev_nbrs,
         "tr_turn_text": q_tr_turn_text,
         "tr_pagerank5": q_tr_pagerank,
+        "ev_bfs_events": q_ev_bfs_events,
+        "ev_all_paths_events": q_ev_all_paths_events,
+        "doc_ngram_capped": q_doc_ngram_capped,
+        "doc_simhash_capped": q_doc_simhash_capped,
+        "emb_near_dups_lsh": q_emb_near_dups_lsh,
+        "tr_densify": q_tr_densify,
     }
 
 
@@ -994,4 +1196,67 @@ walk(source, id, depth) AS (
   FROM walk w JOIN edges e ON e.src = w.id WHERE w.depth < 64
 )
 SELECT source, id, MIN(depth)::INT AS depth FROM walk GROUP BY source, id""",
+        "ev_walk_visits": f"""
+{_walk_cte(EV_EDGES_SQL, home=0, num_walkers=50, num_steps=5, reset_prob=0.2, seed=7)}
+SELECT cur AS id, COUNT(*)::BIGINT AS visits FROM walk GROUP BY cur""",
+        "ev_walk_prev_nbrs": f"""
+{_walk_cte(EV_EDGES_SQL, home=0, num_walkers=50, num_steps=5, reset_prob=0.2, seed=7)},
+cnts AS (SELECT cur AS id, prev, COUNT(*) AS cnt FROM walk
+         WHERE prev IS NOT NULL GROUP BY cur, prev),
+ranked AS (SELECT id, prev,
+                  ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, prev ASC) AS rn
+           FROM cnts)
+SELECT id, string_agg(prev::VARCHAR, ',' ORDER BY rn) AS prev_nbrs
+FROM ranked WHERE rn <= 3 GROUP BY id""",
+        "ev_bfs_events": f"""
+WITH RECURSIVE edges AS ({EV_EDGES_SQL}),
+reach(id, depth) AS (
+  SELECT 0::BIGINT, 0
+  UNION
+  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.depth < 64
+),
+d AS (SELECT id, MIN(depth) AS depth FROM reach GROUP BY id)
+SELECT 0 AS step, 0::BIGINT AS id, -1::BIGINT AS prev
+UNION ALL
+SELECT (d.depth + 1)::INT, e.dst, e.src
+FROM edges e JOIN d ON d.id = e.src""",
+        "ev_all_paths_events": f"""
+WITH RECURSIVE edges AS ({EV_EDGES_SQL}),
+f(id, prev, lvl) AS (
+  SELECT 0::BIGINT, -1::BIGINT, 0
+  UNION ALL
+  SELECT e.dst, f.id, f.lvl + 1 FROM f JOIN edges e ON e.src = f.id
+  WHERE f.lvl < 4
+)
+SELECT lvl::INT AS step, id, prev, COUNT(*)::BIGINT AS cnt
+FROM f GROUP BY lvl, id, prev""",
+        "doc_ngram_capped": f"""
+WITH norm AS (SELECT doc_id, {_DOC_NORM} AS t FROM documents WHERE doc_id < 100),
+pos AS (SELECT doc_id, t, unnest(range(1, greatest(length(t) - 2, 1) + 1)) AS i FROM norm),
+sh AS (SELECT DISTINCT doc_id, substr(t, i::INT, 3) AS shingle FROM pos
+       WHERE substr(t, i::INT, 3) <> ''),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20),
+shc AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
+  FROM shc s1 JOIN shc s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.a, c.b, count(*) AS c
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.a
+  JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+  GROUP BY c.a, c.b
+)
+SELECT a, b, ROUND(c::DOUBLE / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.5""",
+        "doc_simhash_capped": _simhash_capped_sql(max_hamming=3, max_bucket_size=10),
+        "emb_near_dups_lsh": _emb_near_dups_lsh_sql(dim=ANN_DIM, threshold=0.3),
+        "tr_densify": """
+SELECT event_type AS external_id,
+       ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS id
+FROM (SELECT DISTINCT event_type FROM events)""",
     }
