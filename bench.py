@@ -86,6 +86,19 @@ def build_workloads(spark, sf_dir: str, sf: float):
         }
         res.ranks.count()
 
+    def w_pagerank_turns_dist():
+        # the DISTRIBUTED superstep path, forced (auto collapses graphs this
+        # small to the local engine): measures per-superstep machinery cost;
+        # big-graph throughput evidence lives in scripts/scaling_run.py
+        res = pagerank(tedges, max_iterations=None, tolerance=1e-6,
+                       engine="distributed")
+        aux["pagerank_turns_dist_1e6"] = {
+            "iterations": res.iterations,
+            "edges": m_turn,
+            "error": res.error,
+        }
+        res.ranks.count()
+
     def w_cc_turns():
         cc = connected_components(tedges)
         aux["cc_turns"] = {"components": cc.select("component").distinct().count()}
@@ -183,6 +196,7 @@ def build_workloads(spark, sf_dir: str, sf: float):
     return [
         ("pagerank_turns_1e6", w_pagerank_turns),
         ("pagerank_cs_1e6", w_pagerank_cs),
+        ("pagerank_turns_dist_1e6", w_pagerank_turns_dist),
         ("cc_turns", w_cc_turns),
         ("lpa_turns_5", w_lpa_turns),
         ("hits_cs_10", w_hits_cs),
@@ -222,7 +236,7 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     # north metric: edges/sec for PageRank to 1e-6 (edges x supersteps / sec)
     eps = {}
-    for key in ("pagerank_turns_1e6", "pagerank_cs_1e6"):
+    for key in ("pagerank_turns_1e6", "pagerank_cs_1e6", "pagerank_turns_dist_1e6"):
         a = aux.get(key)
         if a and times.get(key):
             eps[key] = int(a["edges"] * a["iterations"] / times[key])
