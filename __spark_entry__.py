@@ -892,6 +892,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return densify_ids(ev.select("event_type"), "event_type")
 
+    def q_doc_dedup_clusters(spark, sf):
+        # candidate pairs -> connected components -> canonical representative
+        # (min doc id per cluster); singletons rep themselves
+        from cassovary_spark.functions import dedup_clusters
+
+        d = docs(spark, sf)
+        pairs = minhash_lsh_candidates(d, num_hashes=16, bands=4)
+        return dedup_clusters(pairs, ids=d)
+
+    def q_doc_sample_hash(spark, sf):
+        from cassovary_spark.functions import sample_by_hash
+
+        return sample_by_hash(docs(spark, sf), 0.25, key_col="doc_id").select(
+            "doc_id"
+        )
+
     return {
         "cs_edges": q_cs_edges,
         "ev_edges": q_ev_edges,
@@ -936,6 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_capped": q_doc_simhash_capped,
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
         "tr_densify": q_tr_densify,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
+        "doc_sample_hash": q_doc_sample_hash,
     }
 
 
@@ -1255,6 +1273,37 @@ FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.5""",
         "doc_simhash_capped": _simhash_capped_sql(max_hamming=3, max_bucket_size=10),
         "emb_near_dups_lsh": _emb_near_dups_lsh_sql(dim=ANN_DIM, threshold=0.3),
+        "doc_dedup_clusters": f"""
+{_SHINGLES_SQL.replace("WITH norm", "WITH RECURSIVE norm", 1)},
+{minhash_ab},
+m AS (SELECT doc_id, {minhash_cols} FROM ab GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, 0 AS band, md5(h0::VARCHAR || '|' || h1::VARCHAR || '|' || h2::VARCHAR || '|' || h3::VARCHAR) AS bucket FROM m
+  UNION ALL
+  SELECT doc_id, 1, md5(h4::VARCHAR || '|' || h5::VARCHAR || '|' || h6::VARCHAR || '|' || h7::VARCHAR) FROM m
+  UNION ALL
+  SELECT doc_id, 2, md5(h8::VARCHAR || '|' || h9::VARCHAR || '|' || h10::VARCHAR || '|' || h11::VARCHAR) FROM m
+  UNION ALL
+  SELECT doc_id, 3, md5(h12::VARCHAR || '|' || h13::VARCHAR || '|' || h14::VARCHAR || '|' || h15::VARCHAR) FROM m
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+ed AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(id, rep) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM ed)
+  UNION
+  SELECT e.dst, r.rep FROM reach r JOIN ed e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(rep) AS rep FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""",
+        "doc_sample_hash": """
+SELECT doc_id FROM documents
+WHERE ('0x' || substring(md5(doc_id::VARCHAR || '|42'), 1, 13))::BIGINT
+      / 4503599627370496.0 < 0.25""",
         "tr_densify": """
 SELECT event_type AS external_id,
        ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS id

@@ -33,6 +33,9 @@ from cassovary_spark.graph import (
     mutualize,
     canonicalize_undirected,
     graph_stats,
+    densify_ids,
+    edges_from_external,
+    read_node_numberer,
 )
 
 __version__ = "0.1.0"
@@ -48,6 +51,9 @@ __all__ = [
     "mutualize",
     "canonicalize_undirected",
     "graph_stats",
+    "densify_ids",
+    "edges_from_external",
+    "read_node_numberer",
     "DynamicGraph",
     "read_labels",
     "write_labels",

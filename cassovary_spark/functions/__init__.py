@@ -11,7 +11,9 @@ from cassovary_spark.functions.text import (
     doc_fingerprint,
 )
 from cassovary_spark.functions.dedup import (
+    dedup_clusters,
     exact_dedup,
+    sample_by_hash,
     ngram_jaccard_pairs,
     minhash_signatures,
     minhash_lsh_buckets,
@@ -37,6 +39,8 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "exact_dedup",
+    "dedup_clusters",
+    "sample_by_hash",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_buckets",

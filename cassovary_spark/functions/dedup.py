@@ -431,3 +431,68 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pair graph -> duplicate CLUSTERS: ``(doc_id, rep)`` where
+    ``rep`` is the minimum doc id in the document's connected component of
+    the pair graph — the canonical-representative step every dedup pipeline
+    needs after candidate generation (keep rows where doc_id == rep, drop
+    the rest).
+
+    ``pairs``: an ``(a, b)`` frame from any of the candidate generators
+    (minhash_lsh_candidates, simhash_near_dups, ngram_jaccard_pairs,
+    embedding_near_dups). ``ids``: optional full corpus id frame; docs in no
+    pair become singleton clusters (rep = self). Transitivity is deliberate:
+    if A~B and B~C, one representative covers all three even when (A, C)
+    was never scored — standard MinHash-dedup semantics (union over the
+    candidate graph).
+
+    Scale: delegates to operators.components.connected_components — hash-min
+    label propagation + pointer jumping over the pair edges; O(pairs) per
+    superstep, O(log diameter) supersteps, and dedup-pair graphs have tiny
+    diameter (near-cliques), so this is 2-3 supersteps in practice.
+    """
+    from cassovary_spark.operators.components import connected_components
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges).select(
+        F.col("id").alias(id_col), F.col("component").alias("rep")
+    )
+    if ids is not None:
+        singles = ids.select(id_col).join(comp.select(id_col), id_col, "left_anti")
+        comp = comp.union(singles.select(id_col, F.col(id_col).alias("rep")))
+    return comp
+
+
+def sample_by_hash(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic hash sampling: keep a row iff
+    md5(key|seed) maps below ``rate`` — reproducible across runs, partitions
+    and engines (unlike DataFrame.sample, which is partition-seeded), and
+    consistent BY KEY: the same key is kept in every table it appears in, so
+    sampled tables still join (the property training-data subsetting needs).
+
+    The md5-prefix uniform is the same construction as the walk RNG
+    (operators/traversals._walk_uniform): 13 hex chars = 52 bits, exact in a
+    double, replayable in DuckDB SQL for oracle checks.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(str(seed)))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(16**13))
+    )
+    return df.filter(u < F.lit(float(rate)))

@@ -35,8 +35,12 @@ def cosine_top_k(
 ) -> DataFrame:
     """Exact cosine top-k neighbors: ``(q, v, score, rn)``.
 
-    ``queries`` defaults to the full table (all-pairs top-k). At scale pass a
-    small query set — Catalyst broadcasts it and the scan stays one pass."""
+    ``queries`` defaults to the full table (all-pairs top-k — the exact
+    baseline/oracle form; the broadcast is then the WHOLE table, so this
+    default is only for small tables). At scale either pass a small query
+    set — Catalyst broadcasts it and the scan stays one pass — or use
+    ``lsh_bucketed_ann``, the bucketed approximate form of the same output
+    shape."""
     base = embeddings.select(
         F.col(id_col).alias("v"), F.col(vec_col).alias("v_emb")
     ).withColumn("v_norm", _norm2(F.col("v_emb")))

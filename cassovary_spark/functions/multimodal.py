@@ -94,18 +94,32 @@ def frame_sample_stub(
     is the real production layout (frames >> videos => repartition after)."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_payload": []}
-            for _, r in pdf.iterrows():
-                b = r["payload"] or b""
-                n = min(max_frames, max(len(b) // 16, 1))
-                for i in range(n):
-                    rows["media_id"].append(r["media_id"])
-                    rows["frame_idx"].append(i)
-                    rows["frame_ts_ms"].append(i * every_ms)
-                    # STUB: real impl decodes frame i*every_ms via av/ffmpeg
-                    rows["frame_payload"].append(bytes(b[i * 16 : (i + 1) * 16]))
-            yield pd.DataFrame(rows)
+            payloads = [b or b"" for b in pdf["payload"]]
+            mids = pdf["media_id"].to_numpy()
+            n = np.minimum(
+                max_frames,
+                np.maximum(np.array([len(b) // 16 for b in payloads]), 1),
+            ).astype(np.int64)
+            rep = np.repeat(np.arange(len(pdf), dtype=np.int64), n)
+            seg = np.cumsum(n) - n
+            fi = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(seg, n)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids[rep],
+                    "frame_idx": fi.astype("int32"),
+                    "frame_ts_ms": (fi * every_ms).astype("int32"),
+                    # STUB payload slice stands in for the av/ffmpeg frame
+                    # decode; the batch shape (vectorized fan-out, one output
+                    # row per sampled frame) is the real pipeline's
+                    "frame_payload": [
+                        bytes(payloads[r][i * 16 : (i + 1) * 16])
+                        for r, i in zip(rep, fi)
+                    ],
+                }
+            )
 
     return media.filter(F.col("media_type") == "video").mapInPandas(
         sample,

@@ -181,6 +181,41 @@ def densify_ids(df: DataFrame, id_col: str, num_partitions: int | None = None) -
     )
 
 
+def read_node_numberer(df_or_path, spark=None, separator: str = " ") -> DataFrame:
+    """MapNodeNumberer analog (util/MapNodeNumberer.scala:45-64,
+    forStringsFromFile): load a NAMED external<->internal id dictionary from
+    a text file of ``name<sep>id`` lines. Returns ``(external_id string,
+    id long)`` — the same dictionary shape ``densify_ids`` derives from data,
+    so ``edges_from_external`` composes with either.
+
+    Like the reference, duplicate names AND duplicate ids are errors (both
+    directions of the map must be functions); the checks are distributed
+    aggregations, not driver-side sets.
+    """
+    if isinstance(df_or_path, str):
+        if spark is None:
+            raise ValueError("read_node_numberer(path, spark=...) needs a session")
+        raw = spark.read.text(df_or_path)
+        parts = F.split(F.col("value"), separator)
+        d = raw.select(
+            parts.getItem(0).alias("external_id"),
+            parts.getItem(1).cast("long").alias("id"),
+        )
+    else:
+        d = df_or_path.select("external_id", F.col("id").cast("long"))
+    d = d.persist()
+    bad_id = d.filter(F.col("id").isNull()).count()
+    if bad_id:
+        raise ValueError(f"{bad_id} lines with non-integer ids")
+    for key, label in (("external_id", "name"), ("id", "id")):
+        dup = (
+            d.groupBy(key).agg(F.count("*").alias("n")).filter(F.col("n") > 1).first()
+        )
+        if dup is not None:
+            raise ValueError(f"Duplicate {label} found: {dup[key]}")
+    return d
+
+
 def edges_from_external(
     edges: DataFrame, dictionary: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

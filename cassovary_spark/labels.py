@@ -71,11 +71,18 @@ def read_labels(
     return out
 
 
-def write_labels(labels: DataFrame, directory: str, collection: str) -> None:
+def write_labels(
+    labels: DataFrame, directory: str, collection: str, num_files: int = 1
+) -> None:
     """Inverse of read_labels: one text file tree per non-id column.
 
     ``collection`` must not contain '_' (the filename field separator);
-    label names MAY (the reader's name field is greedy)."""
+    label names MAY (the reader's name field is greedy).
+
+    ``num_files``: writer parallelism per label (the reference chunks output
+    across N writer threads, util/io/GraphWriter.scala:23-62); chunks are
+    id-range partitioned so each part file is a contiguous, sorted id range.
+    Default 1 keeps the single-file interchange layout."""
     if "_" in collection:
         raise ValueError(
             f"collection {collection!r} must not contain '_' "
@@ -89,13 +96,16 @@ def write_labels(labels: DataFrame, directory: str, collection: str) -> None:
         path = os.path.join(
             directory, f"nodelabels_{collection}_{field.name}_{typ}.txt"
         )
-        (
-            labels.filter(F.col(field.name).isNotNull())
-            .select(F.concat_ws(" ", F.col("id"), F.col(field.name)))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .text(path)
+        one = labels.filter(F.col(field.name).isNotNull()).select(
+            "id", F.concat_ws(" ", F.col("id"), F.col(field.name)).alias("value")
         )
+        if num_files == 1:
+            one = one.coalesce(1)
+        else:
+            one = one.repartitionByRange(num_files, "id")
+        one.sortWithinPartitions("id").select("value").write.mode(
+            "overwrite"
+        ).text(path)
 
 
 def label_of_nodes(labels: DataFrame, name: str, node_ids: list[int]) -> DataFrame:

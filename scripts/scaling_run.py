@@ -41,9 +41,14 @@ def child(cores: int) -> None:
     # executors to a real cluster does not change the table's partitioning),
     # so the ONLY variable is core count. Identical partitioning also makes
     # per-vertex float sums bit-identical across levels.
-    parts = max(LEVELS)
+    parts = int(os.environ.get("SCALING_PARTS", "0")) or max(LEVELS)
+    # optional conf overrides for codec/bandwidth experiments — JVM-static
+    # settings (e.g. spark.io.compression.codec) can only vary across child
+    # processes, never within one session
+    extra = json.loads(os.environ.get("SCALING_EXTRA_CONF", "{}"))
     spark = get_spark(
-        app_name=f"scaling_{cores}", cores=cores, shuffle_partitions=parts
+        app_name=f"scaling_{cores}", cores=cores, shuffle_partitions=parts,
+        extra_conf=extra or None,
     )
     t = synth_transcripts(spark, n_convs=N_CONVS, seed=42)
     edges = turn_edges(t).persist()
@@ -55,14 +60,15 @@ def child(cores: int) -> None:
     # real cluster warmup amortizes over hundreds of supersteps). Measured:
     # without it the first cold superstep costs up to 6x the steady state
     # and distorts small-wall levels most.
-    pagerank(edges, max_iterations=2, num_partitions=parts)
+    pagerank(edges, max_iterations=2, num_partitions=parts, engine="distributed")
 
     t0 = time.time()
     # num_partitions pinned: operators otherwise auto-size partitions from
     # the edge count and core floor (plans.choose_partitions), which would
     # vary the physical layout across levels — the methodology requires the
     # IDENTICAL plan at every parallelism level
-    res = pagerank(edges, max_iterations=ITERS, num_partitions=parts)
+    res = pagerank(edges, max_iterations=ITERS, num_partitions=parts,
+                   engine="distributed")  # the scaling evidence IS the distributed path
     res.ranks.count()
     wall = time.time() - t0
     # per-vertex checksum so all levels can be asserted equal
@@ -174,15 +180,30 @@ Shuffle files and superstep state live on tmpfs (`/dev/shm`) — the sandbox's
 8 cores == 32 cores at 264s before; 136s at 32 cores after). A real cluster
 has per-node local SSDs and page cache; tmpfs is the local-mode analog.
 
+Steady-run hygiene (r2): per-superstep walls used to drift and spike within
+a run (69s -> 99s over 10 supersteps at local[2]; bimodal 13s/43s at
+local[16]) because dead shuffle files from completed supersteps linger on
+the tmpfs scratch — which IS RAM — until the ContextCleaner's next periodic
+GC (default every 30min; a 48g heap never GCs on its own at this allocation
+rate). `spark.cleaner.periodicGC.interval=45s` (session default) removes
+them at superstep cadence; walls are now flat across the run, so total-wall
+and median-superstep efficiencies agree.
+
 Caveats: local mode shares one JVM heap, one shuffle medium, and one memory
-bus across all cores. The 8 -> 32 pair saturates the single socket's memory
-bandwidth (state write + shuffle are bandwidth-bound), so its efficiency is a
-pessimistic lower bound; the 2 -> 8 pair runs below saturation and is the
-closer analog of adding executor NODES to a cluster, where each 4x step
-brings 4x the memory bandwidth and disk spindles. The engine's plans are
-shuffle-light and partition-parallel (stationary co-partitioned edge table;
-bucketed superstep state so joins need no exchange; map-side partial
-aggregation), which is what the N -> 4N rule rewards on a real cluster.
+bus across all cores. The denser pairs (4 -> 16, 8 -> 32) saturate the
+single socket's memory bandwidth (state write + shuffle + cached-edge scan
+are bandwidth-bound), so their efficiency is a pessimistic lower bound; the
+2 -> 8 pair runs below saturation and is the closer analog of adding
+executor NODES to a cluster, where each 4x step brings 4x the memory
+bandwidth and disk spindles. Ruled out empirically (scripts/codec_ab.py,
+scripts/parts_ab.py, interleaved A/B at the saturated level): zstd shuffle
+compression (median superstep 8.3s vs lz4 7.4-8.1s — the CPU cost exceeds
+the byte savings on RAM-backed shuffle) and 64-partition over-decomposition
+(8.4s vs 7.7s — extra task/bucket-file overhead beats the wave-balance
+gain). The engine's plans are shuffle-light and partition-parallel
+(stationary co-partitioned edge table; bucketed superstep state so joins
+need no exchange; map-side partial aggregation), which is what the
+N -> 4N rule rewards on a real cluster.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:

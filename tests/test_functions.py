@@ -303,3 +303,35 @@ def test_densify_ids_multi_partition_byte_identical(spark):
     # single-partition degenerate case
     got1 = {r["external_id"]: r["id"] for r in densify_ids(df, "name", num_partitions=1).collect()}
     assert got1 == want
+
+
+def test_dedup_clusters_transitive_with_singletons(spark):
+    from cassovary_spark.functions import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "a long, b long")
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 9]], "doc_id long")
+    got = {r["doc_id"]: r["rep"] for r in dedup_clusters(pairs, ids=ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+    # without ids: only docs appearing in pairs
+    got2 = {r["doc_id"]: r["rep"] for r in dedup_clusters(pairs).collect()}
+    assert got2 == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_sample_by_hash_deterministic_and_key_consistent(spark):
+    import hashlib
+
+    from cassovary_spark.functions import sample_by_hash
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(400)], "doc_id long, text string")
+    kept = {r["doc_id"] for r in sample_by_hash(df, 0.3, seed=5).collect()}
+    # python mirror of the md5-prefix uniform
+    want = {
+        i for i in range(400)
+        if int(hashlib.md5(f"{i}|5".encode()).hexdigest()[:13], 16) / 16**13 < 0.3
+    }
+    assert kept == want
+    assert 0.15 < len(kept) / 400 < 0.45
+    # key-consistency: same keys survive in a different table
+    df2 = spark.createDataFrame([(i, i * 2) for i in range(400)], "doc_id long, v long")
+    kept2 = {r["doc_id"] for r in sample_by_hash(df2, 0.3, seed=5).collect()}
+    assert kept2 == kept

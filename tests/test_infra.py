@@ -158,11 +158,9 @@ def test_oracle_queries_importable():
     rows_only = set(qs) - set(os_)
     assert rows_only == {
         "ev_dfs",  # sequential DFS, not SQL-expressible
-        "ev_walk_visits",  # Spark-partition-seeded RNG
-        "ev_walk_prev_nbrs",  # same
         "tr_turn_text",  # xxhash64 synthesis not reproducible in DuckDB
         "tr_pagerank5",  # same
-    }
+    }  # the walks graduated in r2: md5 draw streams replayed by recursive CTEs
 
 
 def test_read_edge_list_literal_separator_and_comments(spark, tmp_path):
@@ -199,3 +197,30 @@ def test_duplicate_and_empty_seed_contracts(spark):
         random_walk_visits(e, [], num_steps=2)
     with _pytest.raises(ValueError):
         personalized_pagerank(e, [])
+
+
+def test_read_node_numberer(spark, tmp_path):
+    """MapNodeNumberer parity (util/MapNodeNumberer.scala:45-64 +
+    MapNodeNumbererSpec): load name<->id map; duplicate names or ids raise."""
+    import pytest
+
+    from cassovary_spark.graph import edges_from_external, read_node_numberer
+
+    p = tmp_path / "numbering1.txt"
+    p.write_text("banana 2\norange 7\nspoon 29\nbike 12\n")
+    d = read_node_numberer(str(p), spark=spark)
+    got = {r["external_id"]: r["id"] for r in d.collect()}
+    assert got == {"banana": 2, "orange": 7, "spoon": 29, "bike": 12}
+    # composes with edges_from_external like a densify_ids dictionary
+    e = spark.createDataFrame([("banana", "orange"), ("spoon", "bike")], "src string, dst string")
+    enc = {(r["src"], r["dst"]) for r in edges_from_external(e, d).collect()}
+    assert enc == {(2, 7), (29, 12)}
+
+    dup_id = tmp_path / "dup_id.txt"
+    dup_id.write_text("a 1\nb 1\n")
+    with pytest.raises(ValueError, match="Duplicate id"):
+        read_node_numberer(str(dup_id), spark=spark)
+    dup_name = tmp_path / "dup_name.txt"
+    dup_name.write_text("a 1\na 2\n")
+    with pytest.raises(ValueError, match="Duplicate name"):
+        read_node_numberer(str(dup_name), spark=spark)

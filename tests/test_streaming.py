@@ -143,3 +143,65 @@ def test_stream_edges_gapped_and_foreign_ids(spark, tmp_path):
     assert (a + 2, a + 5) in got or (a + 2, a + 5) in got
     assert {(a, a + 2), (a + 2, a + 5), (65536, 65537)} <= got
     assert len(got) == 3
+
+
+def test_stream_delta_df_compact_pagerank(spark, tmp_path):
+    """Stream -> apply_delta_df (no driver materialization) -> compact ->
+    algorithm: the streamed-then-compacted graph is edge-identical to the
+    batch derivation, and PageRank over it matches the batch run exactly."""
+    import os
+
+    from cassovary_spark.dynamic import DynamicGraph
+    from cassovary_spark.operators import pagerank
+
+    t = synth_transcripts(spark, n_convs=12, seed=9).persist()
+    full_edges = turn_edges(t).persist()
+    full = {(r["src"], r["dst"]) for r in full_edges.collect()}
+
+    prefix = t.filter(F.col("turn_idx") < 2)
+    base = turn_edges(prefix).persist()
+
+    src_dir = str(tmp_path / "in2")
+    os.makedirs(src_dir)
+    prefix.coalesce(1).write.parquet(f"{src_dir}/b0")
+    t.filter(F.col("turn_idx") >= 2).coalesce(1).write.parquet(f"{src_dir}/b1")
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/b*")
+    )
+    q = (
+        stream_turn_edges(stream)
+        .writeStream.format("memory")
+        .queryName("delta_df_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # the sink table IS the delta DataFrame — op=+1 adds, seq from a
+    # monotonic id; base edges already present resolve idempotently
+    delta_df = (
+        spark.table("delta_df_sink")
+        .withColumn("op", F.lit(1))
+        .withColumn("seq", F.monotonically_increasing_id())
+    )
+    dg = DynamicGraph(base=base).apply_delta_df(delta_df)
+    snap = dg.compact(str(tmp_path / "snap2"))
+    resolved = {(r["src"], r["dst"]) for r in snap.base.collect()}
+    assert resolved == full
+
+    pr_stream = {
+        r["id"]: round(r["pagerank"], 12)
+        for r in pagerank(snap.current_edges(), max_iterations=5).ranks.collect()
+    }
+    pr_batch = {
+        r["id"]: round(r["pagerank"], 12)
+        for r in pagerank(full_edges, max_iterations=5).ranks.collect()
+    }
+    t.unpersist()
+    full_edges.unpersist()
+    base.unpersist()
+    assert pr_stream == pr_batch
