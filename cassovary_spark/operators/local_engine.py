@@ -291,6 +291,86 @@ def bfs_events_numpy(
     return np.concatenate(steps), np.concatenate(evs), np.concatenate(prevs)
 
 
+def random_walk_events_numpy(
+    ids: np.ndarray,
+    si: np.ndarray,
+    di: np.ndarray,
+    start_nodes,
+    num_steps: int,
+    reset_prob: float,
+    num_walkers: int,
+    seed: int,
+):
+    """Draw-for-draw twin of operators/traversals.py random walks: the SAME
+    md5('tag|walker|step|seed') uniforms (_walk_uniform) consumed against
+    the SAME sorted adjacency, stepped with numpy per synchronized step (the
+    only per-item Python is the md5 calls, ~2 per walker-step). Returns
+    (walkers, steps, cur_ids, prev_ids) with prev < 0 encoding null."""
+    import hashlib
+
+    n = len(ids)
+    # CSR with sorted neighbor lists (sort by (src, dst) then slice)
+    order = np.lexsort((di, si))
+    s_sorted, d_sorted = si[order], di[order]
+    indptr = np.searchsorted(s_sorted, np.arange(n + 1))
+    outdeg = np.diff(indptr)
+
+    homes_ext = np.array(
+        [int(start_nodes[i % len(start_nodes)]) for i in range(num_walkers)],
+        dtype=np.int64,
+    )
+    hp = np.searchsorted(ids, homes_ext)
+    home_in = (hp < n) & (ids[np.minimum(hp, max(n - 1, 0))] == homes_ext) if n else np.zeros(num_walkers, bool)
+    # positions; -1 = a home that is not a graph vertex (never has neighbors)
+    home_pos = np.where(home_in, hp, -1)
+    cur = home_pos.copy()
+    cur_ext = homes_ext.copy()
+
+    div = float(16**13)
+
+    def uniforms(tag: str, step: int):
+        return np.array(
+            [
+                int(hashlib.md5(f"{tag}|{w}|{step}|{seed}".encode()).hexdigest()[:13], 16)
+                for w in range(num_walkers)
+            ],
+            dtype=np.float64,
+        ) / div
+
+    walkers_out = [np.arange(num_walkers, dtype=np.int64)]
+    steps_out = [np.zeros(num_walkers, dtype=np.int64)]
+    cur_out = [cur_ext.copy()]
+    prev_out = [np.full(num_walkers, -1, dtype=np.int64)]
+    for step in range(num_steps):
+        r = uniforms("r", step)
+        u = uniforms("n", step)
+        deg = np.where(cur >= 0, outdeg[np.maximum(cur, 0)], 0)
+        reset = (r < reset_prob) | (deg == 0)
+        idx = np.floor(u * deg).astype(np.int64)  # int32-cast parity: < 2^31
+        pick_pos = indptr[np.maximum(cur, 0)] + np.minimum(idx, np.maximum(deg - 1, 0))
+        if len(d_sorted):
+            picked_ext = ids[d_sorted[np.minimum(pick_pos, len(d_sorted) - 1)]]
+        else:
+            picked_ext = homes_ext
+        nxt_ext = np.where(reset, homes_ext, picked_ext)
+        prev_ext = np.where(reset, -1, cur_ext)
+        # new positions (next step's adjacency lookup)
+        np_pos = np.searchsorted(ids, nxt_ext) if n else np.full(num_walkers, -1)
+        ok = (np_pos < n) & (ids[np.minimum(np_pos, max(n - 1, 0))] == nxt_ext) if n else np.zeros(num_walkers, bool)
+        cur = np.where(ok, np_pos, -1)
+        cur_ext = nxt_ext
+        walkers_out.append(np.arange(num_walkers, dtype=np.int64))
+        steps_out.append(np.full(num_walkers, step + 1, dtype=np.int64))
+        cur_out.append(cur_ext.copy())
+        prev_out.append(prev_ext)
+    return (
+        np.concatenate(walkers_out),
+        np.concatenate(steps_out),
+        np.concatenate(cur_out),
+        np.concatenate(prev_out),
+    )
+
+
 def triangle_count_numpy(ids: np.ndarray, si: np.ndarray, di: np.ndarray) -> int:
     """Exact triangle count twin of operators/triangles.py:triangle_count —
     same degree-oriented wedge enumeration, as two pandas merges. Wedge

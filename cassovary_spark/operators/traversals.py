@@ -289,6 +289,26 @@ def _adjacency_lists(edges: DataFrame, p: int) -> DataFrame:
 
 
 
+def _walk_local_ok(edges, num_walkers: int, num_steps: int, engine: str) -> bool:
+    """Route a walk to the in-memory twin: small graph, bounded event-log
+    size, and non-negative vertex ids (the twin encodes null-prev as -1)."""
+    if engine == "local":
+        return True
+    if engine != "auto":
+        return False
+    from pyspark.sql import functions as F  # noqa: F811 — local import parity
+
+    from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD
+
+    if num_walkers * (num_steps + 1) > 5_000_000:
+        return False
+    m = edges.count()
+    if m > LOCAL_EDGE_THRESHOLD:
+        return False
+    mn = edges.agg(F.least(F.min("src"), F.min("dst")).alias("m")).first()["m"]
+    return mn is None or mn >= 0
+
+
 def _walk_uniform(tag: str, step: int, seed: int):
     """Deterministic U[0,1) for walker draws: md5 of "tag|walker|step|seed".
 
@@ -318,6 +338,7 @@ def random_walk_visits(
     num_walkers: int = 100,
     seed: int = 42,
     num_partitions: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Monte-Carlo bounded random walk (graph/Traverser.scala:75-136 analog).
 
@@ -328,11 +349,28 @@ def random_walk_visits(
     ``element_at(nbrs, 1 + floor(rand * size))`` over grouped adjacency —
     no Python in the loop. Returns ``(id, visits)`` counting every position
     including the start (total = num_walkers * (num_steps + 1)).
+
+    The draws are md5-hash streams keyed (walker, step), so the local twin
+    (small graphs, ``engine='auto'``) replays the identical walk.
     """
     if not start_nodes:
         raise ValueError("start_nodes must be non-empty")
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
+
+    if _walk_local_ok(edges, num_walkers, num_steps, engine):
+        import numpy as np
+
+        from cassovary_spark.operators import local_engine as LE
+
+        ids, si, di = LE.edges_to_numpy(edges)
+        _w, _s, cur, _p = LE.random_walk_events_numpy(
+            ids, si, di, start_nodes, num_steps, reset_prob, num_walkers, seed
+        )
+        uniq, cnt = np.unique(cur, return_counts=True)
+        return LE.result_df(
+            spark, uniq, {"visits": cnt.astype(np.int64)}, "id long, visits long"
+        )
 
     p = choose_partitions(spark, edges, num_partitions)
     adj = _adjacency_lists(edges, p).persist()
@@ -390,6 +428,7 @@ def random_walk_events(
     seed: int = 42,
     track_paths: bool = False,
     num_partitions: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Bounded random walk emitting the full EVENT LOG instead of aggregated
     visit counts — one row per (walker, step) with the node visited, the
@@ -408,6 +447,24 @@ def random_walk_events(
         raise ValueError("start_nodes must be non-empty")
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions
+
+    if not track_paths and _walk_local_ok(edges, num_walkers, num_steps, engine):
+        import pandas as pd
+
+        from cassovary_spark.operators import local_engine as LE
+
+        ids, si, di = LE.edges_to_numpy(edges)
+        w, st, cur, prev = LE.random_walk_events_numpy(
+            ids, si, di, start_nodes, num_steps, reset_prob, num_walkers, seed
+        )
+        pdf = pd.DataFrame(
+            {"walker": w, "step": st.astype("int32"), "id": cur,
+             "prev": pd.array(prev, dtype="Int64")}
+        )
+        pdf.loc[pdf["prev"] < 0, "prev"] = pd.NA
+        return spark.createDataFrame(
+            pdf, schema="walker long, step int, id long, prev long"
+        )
 
     p = choose_partitions(spark, edges, num_partitions)
     adj = _adjacency_lists(edges, p).persist()
