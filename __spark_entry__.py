@@ -614,7 +614,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return degrees(_cs_edges(spark, sf))
 
     def q_cs_pagerank(spark, sf):
-        res = pagerank(_cs_edges(spark, sf), max_iterations=PR_ITERS)
+        # engine pinned so the driver's DuckDB oracle certifies the
+        # DISTRIBUTED superstep plan every round, not the numpy twin
+        # (sub-threshold graphs would otherwise auto-route local).
+        res = pagerank(
+            _cs_edges(spark, sf), max_iterations=PR_ITERS, engine="distributed"
+        )
         return res.ranks.select("id", F.round("pagerank", 6).alias("pagerank"))
 
     def q_ev_pagerank(spark, sf):
@@ -628,7 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_ev_cc(spark, sf):
-        return connected_components(_ev_edges(spark, sf))
+        # distributed-pinned: oracle certifies the hash-min+pointer-jump plan
+        return connected_components(_ev_edges(spark, sf), engine="distributed")
 
     def q_ev_triangles(spark, sf):
         t = triangle_count(_ev_edges(spark, sf))
@@ -644,7 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_ev_bfs(spark, sf):
-        return bfs(_ev_edges(spark, sf), [0], max_depth=3)
+        # distributed-pinned: oracle certifies the level-synchronous plan
+        return bfs(_ev_edges(spark, sf), [0], max_depth=3, engine="distributed")
 
     def q_cs_degree_centrality(spark, sf):
         return degree_centrality(_cs_edges(spark, sf), "in", True).select(
@@ -652,7 +659,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_ev_lpa(spark, sf):
-        return label_propagation(_ev_edges(spark, sf), max_iterations=10)
+        # distributed-pinned: oracle certifies the synchronous-LPA plan
+        return label_propagation(
+            _ev_edges(spark, sf), max_iterations=10, engine="distributed"
+        )
 
     def q_ev_ppr(spark, sf):
         # tolerance=0 pins exactly 10 supersteps so the unrolled SQL oracle

@@ -72,6 +72,13 @@ def bfs(
     m0 = edges.count()
     if engine == "auto":
         engine = "local" if m0 <= LOCAL_EDGE_THRESHOLD else "distributed"
+        if engine == "local" and events:
+            # The events twin encodes null-prev as -1; a graph with negative
+            # vertex ids (legal in read_edge_list/DynamicGraph) would alias
+            # real predecessors to NULL — route those to the distributed plan.
+            mn = edges.agg(F.least(F.min("src"), F.min("dst")).alias("m")).first()["m"]
+            if mn is not None and mn < 0:
+                engine = "distributed"
     if engine == "local":
         from cassovary_spark.operators import local_engine as LE
         import numpy as np
@@ -83,12 +90,19 @@ def bfs(
             )
             import pandas as pd
 
+            # Plain int64 with -1 sentinel, nulled JVM-side: nullable-Int64
+            # pandas frames only convert under Arrow, and the driver's
+            # vanilla session has Arrow off (round-2 red queries).
             pdf = pd.DataFrame(
                 {"step": steps.astype("int32"), "id": eids,
-                 "prev": pd.array(prevs, dtype="Int64")}
+                 "prev": np.asarray(prevs, dtype="int64")}
             )
-            pdf.loc[pdf["prev"] < 0, "prev"] = pd.NA
-            return spark.createDataFrame(pdf, schema="step int, id long, prev long")
+            out = spark.createDataFrame(pdf, schema="step int, id long, prev long")
+            return out.withColumn(
+                "prev",
+                F.when(F.col("prev") < 0, F.lit(None).cast("long"))
+                .otherwise(F.col("prev")),
+            )
         out_ids, out_depths = LE.bfs_numpy(ids, si, di, seeds, max_depth, max_degree)
         return LE.result_df(
             spark, out_ids, {"depth": out_depths.astype("int32")}, "id long, depth int"
@@ -449,6 +463,7 @@ def random_walk_events(
     from cassovary_spark.plans import choose_partitions
 
     if not track_paths and _walk_local_ok(edges, num_walkers, num_steps, engine):
+        import numpy as np
         import pandas as pd
 
         from cassovary_spark.operators import local_engine as LE
@@ -457,13 +472,19 @@ def random_walk_events(
         w, st, cur, prev = LE.random_walk_events_numpy(
             ids, si, di, start_nodes, num_steps, reset_prob, num_walkers, seed
         )
+        # -1 sentinel nulled JVM-side: nullable-Int64 frames crash the
+        # non-Arrow createDataFrame fallback (round-2 red queries).
         pdf = pd.DataFrame(
             {"walker": w, "step": st.astype("int32"), "id": cur,
-             "prev": pd.array(prev, dtype="Int64")}
+             "prev": np.asarray(prev, dtype="int64")}
         )
-        pdf.loc[pdf["prev"] < 0, "prev"] = pd.NA
-        return spark.createDataFrame(
+        out = spark.createDataFrame(
             pdf, schema="walker long, step int, id long, prev long"
+        )
+        return out.withColumn(
+            "prev",
+            F.when(F.col("prev") < 0, F.lit(None).cast("long"))
+            .otherwise(F.col("prev")),
         )
 
     p = choose_partitions(spark, edges, num_partitions)
