@@ -199,6 +199,77 @@ FROM und e1 JOIN und e2 ON e1.b = e2.a
             JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""
 
 
+def _md5long_sql(expr: str) -> str:
+    """First 13 hex chars of md5 as a 52-bit BIGINT — the engine-wide
+    DuckDB-replayable hash contract (traversals._walk_uniform,
+    sources.transcripts.synth_transcripts rng='md5')."""
+    return f"('0x' || substr(md5({expr}), 1, 13))::BIGINT"
+
+
+def _tr_turns_sql(n_convs: int, seed: int = 42, max_turns: int = 32) -> str:
+    """DuckDB replay of synth_transcripts(rng='md5'): one row per
+    (conv_id, conv_ord, n_turns, turn_idx). Spark hash keys are
+    concat_ws('|', cols..., salt) strings."""
+    h_conv = _md5long_sql(f"conv_id || '|{seed}'")
+    return f"""
+convs AS (
+  SELECT printf('conv%06d', CAST(i AS INT)) AS conv_id, i AS conv_ord
+  FROM range({n_convs}) t(i)
+),
+sized AS (
+  SELECT conv_id, conv_ord,
+         2 + ({h_conv} % {max_turns - 1}) AS n_turns
+  FROM convs
+),
+turns AS (
+  SELECT conv_id, conv_ord, n_turns,
+         unnest(generate_series(0, CAST(n_turns AS BIGINT) - 1)) AS turn_idx
+  FROM sized
+)"""
+
+
+def _dfs_sql(edges_sql: str, seed: int) -> str:
+    """DFS discovery/finish clock replayed in pure SQL.
+
+    Identity (brute-force verified over 8k random digraphs,
+    scripts/dfs_lex_check in tests/test_similarity_traversals.py): with
+    sorted-neighbor expansion, the DFS tree path of each reachable node is
+    the lexicographically smallest simple path from the seed (fixed-width
+    encoding, prefix < extension). Given that preorder,
+      disc(v) = 2*preIdx(v) - depth(v)
+      fin(v)  = disc(v) + 2*subtree_size(v) - 1
+    where subtree_size counts nodes whose min-path has v's min-path as a
+    prefix. Enumerates all simple paths — fixture-scale only (the events
+    graph has ~|event_type| nodes), like dfs_times itself
+    (graph/Traverser.scala:487-538 is equally sequential). Ids must be
+    non-negative (fixed-width lpad encoding)."""
+    return f"""
+WITH RECURSIVE edges AS ({edges_sql}),
+paths(id, path) AS (
+  SELECT {seed}::BIGINT, '.' || lpad('{seed}', 12, '0') || '.'
+  UNION
+  SELECT e.dst, p.path || lpad(e.dst::VARCHAR, 12, '0') || '.'
+  FROM paths p JOIN edges e ON e.src = p.id
+  WHERE NOT contains(p.path, '.' || lpad(e.dst::VARCHAR, 12, '0') || '.')
+),
+best AS (SELECT id, MIN(path) AS path FROM paths GROUP BY id),
+pre AS (
+  SELECT id, path,
+         ROW_NUMBER() OVER (ORDER BY path) - 1 AS pre_idx,
+         (length(path) - 14) / 13 AS depth
+  FROM best
+),
+sz AS (
+  SELECT a.id, count(*) AS size
+  FROM best a JOIN best b ON starts_with(b.path, a.path)
+  GROUP BY a.id
+)
+SELECT pre.id,
+       (2 * pre.pre_idx - pre.depth)::BIGINT AS discovery,
+       (2 * pre.pre_idx - pre.depth + 2 * sz.size - 1)::BIGINT AS finish
+FROM pre JOIN sz ON sz.id = pre.id"""
+
+
 def _bfs_sql(edges_sql: str, seed: int, max_depth: int) -> str:
     return f"""
 WITH RECURSIVE edges AS ({edges_sql}),
@@ -808,7 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         srcs = spark.createDataFrame([(0,), (1,), (2,)], "source long")
         return multi_source_bfs(_ev_edges(spark, sf), srcs)
 
-    def q_ev_dfs(spark, sf):  # rows-only (DFS is not SQL-expressible)
+    def q_ev_dfs(spark, sf):  # full oracle since r3 (_dfs_sql min-lex-path CTE)
         from cassovary_spark.operators import dfs_times
 
         return dfs_times(_ev_edges(spark, sf), [0])
@@ -836,14 +907,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat_ws(",", F.col("prev_nbrs").cast("array<string>")).alias("prev_nbrs"),
         )
 
-    def q_tr_turn_text(spark, sf):  # rows-only (xxhash64 synthesis not in DuckDB)
+    def q_tr_turn_text(spark, sf):  # full oracle since r3 (md5 synthesis)
         # the input_hint invariant: per-turn text equality under stable
         # (conv_id, turn_idx) ordering, preserved through the engine's
-        # vertex-id mapping and back
+        # vertex-id mapping and back. rng="md5" makes the table replayable
+        # bit-for-bit in DuckDB (_tr_turns_sql).
         from cassovary_spark.sources import synth_transcripts
         from cassovary_spark.sources.transcripts import turn_vertex_ids
 
-        t = synth_transcripts(spark, n_convs=100, seed=42)
+        t = synth_transcripts(spark, n_convs=100, seed=42, rng="md5")
         vids = turn_vertex_ids(t)
         return (
             t.join(vids, ["conv_id", "turn_idx"])
@@ -851,10 +923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("conv_id", "turn_idx")
         )
 
-    def q_tr_pagerank(spark, sf):  # rows-only
+    def q_tr_pagerank(spark, sf):  # full oracle since r3 (md5 synthesis)
         from cassovary_spark.sources import synth_transcripts, turn_edges
 
-        t = synth_transcripts(spark, n_convs=100, seed=42)
+        t = synth_transcripts(spark, n_convs=100, seed=42, rng="md5")
         res = pagerank(turn_edges(t), max_iterations=PR_ITERS)
         return res.ranks.select("id", F.round("pagerank", 6).alias("pagerank"))
 
@@ -1035,6 +1107,7 @@ ranked AS (
 )
 SELECT u, v, ROUND(score, 6) AS score, rn::INT AS rn FROM ranked WHERE rn <= 3""",
         "ev_bfs3": _bfs_sql(EV_EDGES_SQL, seed=0, max_depth=3),
+        "ev_dfs": _dfs_sql(EV_EDGES_SQL, seed=0),
         "cs_degree_centrality": f"""
 WITH edges AS ({CS_EDGES_SQL}),
 verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
@@ -1318,4 +1391,19 @@ WHERE ('0x' || substring(md5(doc_id::VARCHAR || '|42'), 1, 13))::BIGINT
 SELECT event_type AS external_id,
        ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS id
 FROM (SELECT DISTINCT event_type FROM events)""",
+        # md5-synthesized transcript table replayed in DuckDB (rng="md5"
+        # contract) — certifies the input_hint per-turn text invariant
+        "tr_turn_text": f"""
+WITH {_tr_turns_sql(100)}
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(conv_ord * 65536 + turn_idx AS BIGINT) AS vid,
+       printf('turn %d of %s :: %d', turn_idx, conv_id,
+              {_md5long_sql("conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|45'")}) AS text
+FROM turns""",
+        "tr_pagerank5": _pagerank_sql(
+            f"""WITH {_tr_turns_sql(100)}
+SELECT CAST(conv_ord * 65536 + turn_idx AS BIGINT) AS src,
+       CAST(conv_ord * 65536 + turn_idx + 1 AS BIGINT) AS dst
+FROM turns WHERE turn_idx < n_turns - 1"""
+        ),
     }

@@ -206,6 +206,17 @@ class StateScratch:
         collected via ``observe`` DURING the write — frontier loops get their
         emptiness check without a separate job (the engine's fold-metrics-
         into-the-state-write policy).
+
+        INVALIDATION WINDOW (bucketed mode): returned DataFrames are views of
+        a ROTATING table pool — a handle stays valid only for the next
+        ``max(2, keep_last) - 1`` roundtrips of the same (schema, bucket key,
+        bucket count); after that its slot is overwritten in place and the
+        handle silently resolves to NEWER data (insertInto + refreshTable, no
+        DROP to fail loudly). Ping-pong loops that only read the previous
+        state are safe by construction; operators that retain MANY live state
+        handles (bfs-style level lists) must size ``keep_last`` past the
+        total number of writes, as bfs does (keep_last=1e9 ⇒ no rotation,
+        every write gets a fresh table).
         """
         def observed(frame):
             # a FRESH Observation per write attempt: an Observation's metric

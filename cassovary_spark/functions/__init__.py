@@ -13,6 +13,7 @@ from cassovary_spark.functions.text import (
 from cassovary_spark.functions.dedup import (
     dedup_clusters,
     exact_dedup,
+    release_caches,
     sample_by_hash,
     ngram_jaccard_pairs,
     minhash_signatures,
@@ -40,6 +41,7 @@ __all__ = [
     "doc_fingerprint",
     "exact_dedup",
     "dedup_clusters",
+    "release_caches",
     "sample_by_hash",
     "ngram_jaccard_pairs",
     "minhash_signatures",

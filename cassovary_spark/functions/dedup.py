@@ -9,17 +9,50 @@ Design for 100 TB corpora:
   the dedup pipeline is therefore fully SQL-oracle-checkable.
 
 Cache lifecycle: a few functions persist() an intermediate that feeds two
-NON-identical consumers (ngram sizes+join, the capped-LSH size filter);
-those blocks stay cached until Spark's LRU evicts them (storage memory is
-evictable under the unified memory manager, so this degrades to recompute,
-never OOM). Long-lived pipelines that call these in a loop should persist
-their INPUT docs and call spark.catalog.clearCache() between batches.
+NON-identical consumers (ngram sizes+join, the capped-LSH size filter).
+Those frames are tracked in a generation registry: each top-level dedup
+call frees the caches of calls two generations back (keep-last-2 protects
+the common compose pattern "LSH candidates -> ngram verify" while bounding
+accumulation in a loop), and ``release_caches()`` frees everything now.
+An unpersisted frame degrades to recompute, never to wrong results.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# persisted-intermediate registry: list of generations, each a list of
+# persisted DataFrames created by one top-level dedup call
+_cache_generations: list[list[DataFrame]] = []
+
+
+def _new_generation() -> list[DataFrame]:
+    """Open a cache generation for one top-level call; frees generations
+    more than 2 calls old (ADVICE r2: repeated dedup calls accumulated
+    cached blocks for the session's lifetime)."""
+    gen: list[DataFrame] = []
+    _cache_generations.append(gen)
+    while len(_cache_generations) > 2:
+        for df in _cache_generations.pop(0):
+            try:
+                df.unpersist(False)
+            except Exception:  # noqa: BLE001 — session may already be gone
+                pass
+    return gen
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate cached by dedup calls; returns count."""
+    n = 0
+    while _cache_generations:
+        for df in _cache_generations.pop(0):
+            try:
+                df.unpersist(False)
+                n += 1
+            except Exception:  # noqa: BLE001
+                pass
+    return n
 
 
 def _norm(text_col: str) -> Column:
@@ -111,7 +144,9 @@ def ngram_jaccard_pairs(
     None of each (default) = the exact all-shared-shingle-pairs form, the
     SQL-oracle-checked configuration; only viable when no shingle is hot.
     """
+    gen = _new_generation()
     sh = char_shingles(docs, n, id_col, text_col).persist()
+    gen.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
     if candidates is None and max_shingle_freq is not None:
@@ -310,6 +345,7 @@ def minhash_lsh_candidates(
     bk = minhash_lsh_buckets(sig, bands)
     if max_bucket_size is not None:
         bk = bk.persist()
+        _new_generation().append(bk)
         small = (
             bk.groupBy("band", "bucket")
             .agg(F.count("*").alias("sz"))
@@ -411,6 +447,7 @@ def simhash_near_dups(
         # persist to avoid recomputing the simhash stage (same measurement as
         # minhash_lsh_candidates)
         chunks = chunks.persist()
+        _new_generation().append(chunks)
         small = (
             chunks.groupBy("chunk", "val")
             .agg(F.count("*").alias("sz"))

@@ -42,6 +42,11 @@ def label_propagation(
     from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions, superstep_conf
 
     m0 = edges.count()
+    if engine == "local" and (checkpoint is not None or resume):
+        raise ValueError(
+            "engine='local' cannot honor checkpoint/resume; "
+            "use engine='distributed' (or 'auto', which routes around it)"
+        )
     if engine == "auto" and checkpoint is None:
         engine = "local" if m0 <= LOCAL_EDGE_THRESHOLD else "distributed"
     if engine == "local":

@@ -371,22 +371,45 @@ def random_walk_events_numpy(
     )
 
 
-def triangle_count_numpy(ids: np.ndarray, si: np.ndarray, di: np.ndarray) -> int:
-    """Exact triangle count twin of operators/triangles.py:triangle_count —
-    same degree-oriented wedge enumeration, as two pandas merges. Wedge
-    volume is O(m * degeneracy); callers gate by edge count."""
+def _orient_numpy(ids: np.ndarray, si: np.ndarray, di: np.ndarray):
+    """Dedup + degree-orient the undirected view; returns ``(lo, hi)`` with
+    lo the lower-(degree, id) endpoint, or ``None`` if no proper edges."""
     n = len(ids)
     a = np.minimum(si, di)
     b = np.maximum(si, di)
     keep = a != b
     key = np.unique(a[keep] * np.int64(n) + b[keep])
     if len(key) == 0:
-        return 0
+        return None
     a, b = key // n, key % n
     deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
     lo_first = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
     lo = np.where(lo_first, a, b)
     hi = np.where(lo_first, b, a)
+    return lo, hi, deg
+
+
+def oriented_wedge_volume(ids: np.ndarray, si: np.ndarray, di: np.ndarray) -> int:
+    """Exact number of rows the twin's wedge self-merge would materialize:
+    sum over apex vertices of oriented-out-degree squared. O(m) — the gate
+    triangle_count uses before committing to the in-memory path (a dense
+    1M-edge near-clique heads to ~7e8 wedge rows)."""
+    o = _orient_numpy(ids, si, di)
+    if o is None:
+        return 0
+    lo, _hi, _deg = o
+    cnt = np.bincount(lo, minlength=len(ids)).astype(np.int64)
+    return int((cnt * cnt).sum())
+
+
+def triangle_count_numpy(ids: np.ndarray, si: np.ndarray, di: np.ndarray) -> int:
+    """Exact triangle count twin of operators/triangles.py:triangle_count —
+    same degree-oriented wedge enumeration, as two pandas merges. Wedge
+    volume is O(m * degeneracy); callers gate by oriented_wedge_volume."""
+    o3 = _orient_numpy(ids, si, di)
+    if o3 is None:
+        return 0
+    lo, hi, deg = o3
     o = pd.DataFrame({"lo": lo, "hi": hi})
     w = o.merge(o, on="lo")
     dx, dy = deg[w["hi_x"].to_numpy()], deg[w["hi_y"].to_numpy()]

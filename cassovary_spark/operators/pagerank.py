@@ -90,6 +90,14 @@ def pagerank(
     from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions, superstep_conf
 
     m0 = edges.count()
+    if engine == "local" and (checkpoint is not None or resume):
+        # the numpy twin has no durable superstep state — silently dropping
+        # the caller's checkpoint/resume contract would be a wrong-results
+        # trap on restart
+        raise ValueError(
+            "engine='local' cannot honor checkpoint/resume; "
+            "use engine='distributed' (or 'auto', which routes around it)"
+        )
     if engine == "auto" and checkpoint is None and gather_engine == "join":
         engine = "local" if m0 <= LOCAL_EDGE_THRESHOLD else "distributed"
     if engine == "local":

@@ -59,9 +59,12 @@ def _oriented(edges: DataFrame) -> DataFrame:
 
 def triangle_count(edges: DataFrame, engine: str = "auto") -> int:
     """Exact number of triangles in the undirected view of ``edges``."""
-    if engine == "auto":
-        # wedge volume is O(m * degeneracy), so the in-memory cutoff is
-        # tighter than the iterative operators' LOCAL_EDGE_THRESHOLD
+    auto = engine == "auto"
+    if auto:
+        # edge count alone is not a safe in-memory gate: the twin's wedge
+        # self-merge materializes sum(oriented_deg^2) rows, ~7e8 for a dense
+        # 1M-edge near-clique — so auto routing re-checks the exact wedge
+        # volume (O(m), from the already-collected edges) before committing
         engine = "local" if edges.count() <= 1_000_000 else "distributed"
     if engine == "local":
         from cassovary_spark.operators import local_engine as LE
@@ -69,7 +72,10 @@ def triangle_count(edges: DataFrame, engine: str = "auto") -> int:
         ids, si, di = LE.edges_to_numpy(edges)
         if len(ids) == 0:
             return 0
-        return LE.triangle_count_numpy(ids, si, di)
+        if auto and LE.oriented_wedge_volume(ids, si, di) > 50_000_000:
+            engine = "distributed"
+        else:
+            return LE.triangle_count_numpy(ids, si, di)
     o = _oriented(edges).persist()
     # wedges at the low-degree apex: (a->b, a->c); order the two spokes by the
     # same (degree, id) total order so each wedge is generated once.

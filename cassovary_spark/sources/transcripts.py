@@ -52,6 +52,7 @@ def synth_transcripts(
     n_convs: int = 1000,
     seed: int = 42,
     max_turns: int = 32,
+    rng: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic synthetic transcript table.
 
@@ -59,7 +60,23 @@ def synth_transcripts(
     user/assistant with tool rows where the turn uses a tool; `text` is a
     unique deterministic function of (conv_id, turn_idx) — the carrier of the
     per-turn text-equality invariant. Generated distributively from
-    ``spark.range`` (no driver-side data)."""
+    ``spark.range`` (no driver-side data).
+
+    ``rng``: "xxhash64" (default, fastest) or "md5" — the md5 variant draws
+    every hash as the first 13 hex chars of md5("key|...|salt") (52 bits,
+    the `_walk_uniform` contract), so the SAME table is replayable
+    bit-for-bit by a DuckDB SQL oracle, which lacks xxhash64."""
+    if rng not in ("xxhash64", "md5"):
+        raise ValueError(f"rng must be 'xxhash64' or 'md5', got {rng!r}")
+
+    def _h(cols, salt):
+        if rng == "md5":
+            s = F.concat_ws(
+                "|", *[c.cast("string") for c in cols], F.lit(str(salt))
+            )
+            return F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long")
+        return F.xxhash64(*cols, F.lit(salt))
+
     convs = spark.range(n_convs).select(
         F.format_string("conv%06d", F.col("id").cast("int")).alias("conv_id"),
         F.col("id").alias("conv_ord"),
@@ -68,9 +85,7 @@ def synth_transcripts(
         "n_turns",
         (
             F.lit(2)
-            + F.pmod(
-                F.xxhash64(F.col("conv_id"), F.lit(seed)), F.lit(max_turns - 1)
-            )
+            + F.pmod(_h([F.col("conv_id")], seed), F.lit(max_turns - 1))
         ).cast("int"),
     )
     turns = convs.select(
@@ -78,12 +93,12 @@ def synth_transcripts(
         "conv_ord",
         F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
     )
-    h = F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(seed + 1)), F.lit(100))
+    h = F.pmod(_h([F.col("conv_id"), F.col("turn_idx")], seed + 1), F.lit(100))
     # ~35% of turns invoke a tool; tool choice is skewed by triangular buckets:
     # tool rank r gets weight (|TOOLS| - r), so `bash` is ~8x `task` — the hub
     # vertex the co-occurrence graph needs for skew exercises.
     tool_rank = F.pmod(
-        F.xxhash64("conv_id", "turn_idx", F.lit(seed + 2)),
+        _h([F.col("conv_id"), F.col("turn_idx")], seed + 2),
         F.lit(len(TOOLS) * (len(TOOLS) + 1) // 2),
     )
     # map triangular-number buckets to ranks: bucket < 8 -> tool 0, < 15 -> 1, ...
@@ -106,7 +121,7 @@ def synth_transcripts(
         .alias("role"),
         F.format_string(
             "turn %d of %s :: %d", F.col("turn_idx"), F.col("conv_id"),
-            F.xxhash64("conv_id", "turn_idx", F.lit(seed + 3)),
+            _h([F.col("conv_id"), F.col("turn_idx")], seed + 3),
         ).alias("text"),
         F.when(h < 35, tool_expr).otherwise(F.lit(None).cast("string")).alias("tool"),
         (

@@ -335,3 +335,25 @@ def test_sample_by_hash_deterministic_and_key_consistent(spark):
     df2 = spark.createDataFrame([(i, i * 2) for i in range(400)], "doc_id long, v long")
     kept2 = {r["doc_id"] for r in sample_by_hash(df2, 0.3, seed=5).collect()}
     assert kept2 == kept
+
+
+def test_dedup_cache_generations_bounded(spark, docs):
+    """Repeated dedup calls must not accumulate persisted blocks for the
+    session lifetime (ADVICE r2): the registry keeps <= 2 generations and
+    release_caches() empties it."""
+    from cassovary_spark.functions import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        release_caches,
+    )
+    from cassovary_spark.functions import dedup as dd
+
+    release_caches()
+    for _ in range(3):
+        ngram_jaccard_pairs(docs, threshold=0.9, max_shingle_freq=50).count()
+        minhash_lsh_candidates(
+            docs, num_hashes=8, bands=4, max_bucket_size=50
+        ).count()
+    assert len(dd._cache_generations) <= 2
+    assert release_caches() >= 1
+    assert dd._cache_generations == []

@@ -154,13 +154,9 @@ def test_oracle_queries_importable():
     assert set(os_) <= set(qs)
     assert all(callable(v) for v in qs.values())
     assert all(isinstance(v, str) and "SELECT" in v.upper() for v in os_.values())
-    # documented rows-only set stays small and intentional
-    rows_only = set(qs) - set(os_)
-    assert rows_only == {
-        "ev_dfs",  # sequential DFS, not SQL-expressible
-        "tr_turn_text",  # xxhash64 synthesis not reproducible in DuckDB
-        "tr_pagerank5",  # same
-    }  # the walks graduated in r2: md5 draw streams replayed by recursive CTEs
+    # every query has a full oracle since r3: DFS graduated via the min-lex
+    # path CTE (_dfs_sql), the transcript queries via rng="md5" synthesis
+    assert set(qs) == set(os_)
 
 
 def test_read_edge_list_literal_separator_and_comments(spark, tmp_path):
@@ -224,3 +220,43 @@ def test_read_node_numberer(spark, tmp_path):
     dup_name.write_text("a 1\na 2\n")
     with pytest.raises(ValueError, match="Duplicate name"):
         read_node_numberer(str(dup_name), spark=spark)
+
+
+def test_synth_transcripts_md5_contract(spark):
+    """rng='md5' draws every hash as int(md5(key)[:13], 16) — the DuckDB-
+    replayable contract behind the tr_turn_text/tr_pagerank5 oracles."""
+    import hashlib
+
+    from cassovary_spark.sources import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=6, seed=42, rng="md5")
+    rows = t.orderBy("conv_id", "turn_idx").collect()
+    assert [f.name for f in t.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+
+    def md5long(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:13], 16)
+
+    # conversation lengths replay from md5("conv|seed")
+    import collections
+
+    lens = collections.Counter(r.conv_id for r in rows)
+    for cid, n in lens.items():
+        assert n == 2 + md5long(f"{cid}|42") % 31
+    # per-turn text replays from md5("conv|turn|seed+3")
+    for r in rows:
+        expect = f"turn {r.turn_idx} of {r.conv_id} :: " \
+                 f"{md5long(f'{r.conv_id}|{r.turn_idx}|45')}"
+        assert r.text == expect
+    # text equality invariant: unique per (conv_id, turn_idx)
+    assert len({r.text for r in rows}) == len(rows)
+
+
+def test_synth_transcripts_rng_validation(spark):
+    import pytest
+
+    from cassovary_spark.sources import synth_transcripts
+
+    with pytest.raises(ValueError, match="rng"):
+        synth_transcripts(spark, n_convs=2, rng="sha1")

@@ -116,3 +116,25 @@ def test_matches_oracle_on_random_graph(spark):
 def test_max_iterations_default_10(spark):
     res = pagerank(edges_df(spark, G6))
     assert res.iterations == 10
+
+
+def test_local_engine_rejects_checkpoint(spark, tmp_path):
+    """engine='local' + checkpoint/resume must fail fast, not silently skip
+    the durability contract (ADVICE r2)."""
+    import pytest
+
+    from cassovary_spark.checkpoint import CheckpointStore
+    from cassovary_spark.operators import connected_components, label_propagation
+    from cassovary_spark.operators.pagerank import pagerank
+    from tests.conftest import G6, edges_df
+
+    e = edges_df(spark, G6)
+    store = CheckpointStore(str(tmp_path / "ck"))
+    with pytest.raises(ValueError, match="checkpoint"):
+        pagerank(e, max_iterations=2, engine="local", checkpoint=store)
+    with pytest.raises(ValueError, match="checkpoint"):
+        connected_components(e, engine="local", checkpoint=store)
+    with pytest.raises(ValueError, match="checkpoint"):
+        label_propagation(e, max_iterations=2, engine="local", checkpoint=store)
+    with pytest.raises(ValueError, match="checkpoint"):
+        pagerank(e, max_iterations=2, engine="local", resume=True)

@@ -98,3 +98,60 @@ def test_bfs_property(spark, pairs):
         r["id"]: r["depth"] for r in bfs(edges_df(spark, pairs), [seed]).collect()
     }
     assert got == bfs_oracle(pairs, [seed])
+
+
+# --- pure-Python property (no Spark): the identity behind the ev_dfs DuckDB
+# oracle (__spark_entry__._dfs_sql). With sorted-neighbor expansion, a node's
+# DFS tree path is the lexicographically smallest simple path from the seed
+# (prefix < extension), and
+#   disc(v) = 2*preIdx(v) - depth(v);  fin(v) = disc(v) + 2*size(v) - 1.
+def _py_dfs_times(adj, seed):
+    disc, fin, clock = {}, {}, 0
+    disc[seed] = clock
+    clock += 1
+    stack = [(seed, iter(sorted(adj.get(seed, []))))]
+    while stack:
+        node, it = stack[-1]
+        for nbr in it:
+            if nbr not in disc:
+                disc[nbr] = clock
+                clock += 1
+                stack.append((nbr, iter(sorted(adj.get(nbr, [])))))
+                break
+        else:
+            fin[node] = clock
+            clock += 1
+            stack.pop()
+    return disc, fin
+
+
+@settings(max_examples=60, deadline=None, print_blob=True)
+@given(pairs=edge_lists)
+def test_dfs_oracle_identity_property(pairs):
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        if a != b and b not in adj.setdefault(a, []):
+            adj[a].append(b)
+    seed = pairs[0][0]
+    disc, fin = _py_dfs_times(adj, seed)
+
+    # min-lex simple paths by exhaustive enumeration (graphs are <= 9 nodes)
+    best = {}
+    todo = [(seed,)]
+    while todo:
+        p = todo.pop()
+        v = p[-1]
+        if v not in best or p < best[v]:
+            best[v] = p
+        for n in sorted(adj.get(v, [])):
+            if n not in p:
+                todo.append(p + (n,))
+    assert set(best) == set(disc)
+    order = sorted(best, key=lambda v: best[v])
+    pre = {v: i for i, v in enumerate(order)}
+    for v in best:
+        depth = len(best[v]) - 1
+        size = sum(1 for u in best if best[u][: len(best[v])] == best[v])
+        d = 2 * pre[v] - depth
+        assert disc[v] == d, (adj, v)
+        assert fin[v] == d + 2 * size - 1, (adj, v)

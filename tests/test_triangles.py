@@ -90,3 +90,25 @@ def test_triangle_estimator_unbiased_and_deterministic(spark):
     # full-probability sampling degenerates to the exact count
     full = triangle_count_estimate(e, sample_prob=1.0, seed=7)
     assert full["triangles_sampled"] == 220
+
+
+def test_wedge_volume_gate_falls_back_to_distributed(spark, monkeypatch):
+    """Auto routing re-checks oriented wedge volume before the in-memory
+    twin (ADVICE r2: a dense 1M-edge graph is edge-count-small but wedge-
+    volume-huge); when the gate trips, the distributed plan still answers."""
+    import cassovary_spark.operators.local_engine as LE
+    from cassovary_spark.operators.triangles import triangle_count
+
+    # K6: oriented wedge volume = sum of squared oriented out-degrees
+    k6 = edges_df(
+        spark, [(a, b) for a in range(6) for b in range(6) if a < b]
+    )
+    import numpy as np
+
+    ids, si, di = LE.edges_to_numpy(k6)
+    assert LE.oriented_wedge_volume(ids, si, di) == sum(k * k for k in range(6))
+
+    monkeypatch.setattr(LE, "oriented_wedge_volume", lambda *a: 10**12)
+    assert triangle_count(k6) == 20  # C(6,3), via the distributed fallback
+    # explicit local bypasses the gate (documented caller override)
+    assert triangle_count(k6, engine="local") == 20
