@@ -32,15 +32,43 @@ def cosine_top_k(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
+    dim: int | None = None,
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k neighbors: ``(q, v, score, rn)``.
+    """Cosine top-k neighbors: ``(q, v, score, rn)``.
 
-    ``queries`` defaults to the full table (all-pairs top-k — the exact
-    baseline/oracle form; the broadcast is then the WHOLE table, so this
-    default is only for small tables). At scale either pass a small query
-    set — Catalyst broadcasts it and the scan stays one pass — or use
-    ``lsh_bucketed_ann``, the bucketed approximate form of the same output
-    shape."""
+    With an explicit ``queries`` frame the small query set is broadcast
+    against one pass over the table — exact, and scale-safe as long as
+    ``queries`` is broadcast-sized (the oracle-checked configuration).
+
+    ``queries=None`` (self-top-k over the whole table) defaults to the
+    LSH-bucketed candidate path (``lsh_bucketed_ann`` — requires ``dim``):
+    only bucket-mates are scored, never all-pairs, so the default is safe on
+    10^9-vector tables. ``exact=True`` opts into the all-pairs broadcast
+    crossJoin — exact recall, O(n^2) scoring, small tables only (the
+    baseline the LSH path's recall is measured against). Mirrors the
+    embedding_near_dups exact/LSH split."""
+    if queries is None and not exact:
+        if dim is None:
+            raise ValueError(
+                "cosine_top_k(queries=None): pass dim= for the LSH-bucketed "
+                "default or exact=True for the all-pairs baseline"
+            )
+        return lsh_bucketed_ann(
+            embeddings,
+            dim=dim,
+            k=k,
+            num_tables=num_tables,
+            planes_per_table=planes_per_table,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_bucket_size=max_bucket_size,
+        )
     base = embeddings.select(
         F.col(id_col).alias("v"), F.col(vec_col).alias("v_emb")
     ).withColumn("v_norm", _norm2(F.col("v_emb")))
@@ -108,6 +136,7 @@ def lsh_bucketed_ann(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via multi-table hyperplane LSH
     (standard OR-construction: L independent b-bit signature tables;
@@ -116,7 +145,27 @@ def lsh_bucketed_ann(
 
     Recall tuning: P(candidate) = 1-(1-(1-theta/pi)^b)^L — raise L for
     recall, raise b for precision/bucket size. Defaults suit near-dup /
-    same-cluster search; exact brute force (cosine_top_k) is the baseline."""
+    same-cluster search; exact brute force (cosine_top_k(exact=True)) is
+    the baseline.
+
+    ``max_bucket_size``: skip (table, bucket) groups larger than this before
+    the self-join — the hot-bucket cap (same policy as the dedup LSH paths).
+    A bucket of size s contributes s^2 candidate rows, so one degenerate
+    bucket (all-identical vectors, too few planes for |V|) can dominate the
+    join; vectors whose EVERY bucket is hot lose their rows in the output
+    (cap trades recall for a bounded join, and only on hot buckets). Total
+    candidate volume is bounded by cap * n * num_tables, so size the cap
+    near the expected same-bucket group size (~10-100 for near-dup
+    corpora), not orders above it — measured at 10^6 clustered vectors, a
+    loose cap's candidate shuffle is the dominant cost (see
+    scripts/ann_scale_probe.py).
+
+    Scale shape: buckets hold IDS ONLY — candidate (q, v) pairs are
+    generated and deduped as 16-byte rows, and the (wide) embedding vectors
+    join in only for final scoring. Carrying vectors through the bucket
+    self-join multiplies the shuffle by the vector width (~200x at
+    dim=768); measured as the difference between an OOM and 90s at 10^6
+    x dim=16."""
     sigs = F.array(
         *[
             F.struct(
@@ -128,33 +177,45 @@ def lsh_bucketed_ann(
             for t in range(num_tables)
         ]
     )
-    base = (
-        embeddings.select(
-            F.col(id_col).alias("v"),
-            F.col(vec_col).alias("v_emb"),
-            F.explode(sigs).alias("tb"),
-        )
-        .select(
-            "v",
-            "v_emb",
-            F.col("tb.table").alias("table"),
-            F.col("tb.bucket").alias("bucket"),
-        )
-        .withColumn("v_norm", _norm2(F.col("v_emb")))
-        .persist()
+    bk = embeddings.select(
+        F.col(id_col).alias("id"), F.explode(sigs).alias("tb")
+    ).select(
+        "id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
     )
-    q = base.select(
-        F.col("v").alias("q"),
-        F.col("v_emb").alias("q_emb"),
-        F.col("v_norm").alias("q_norm"),
-        "table",
-        "bucket",
-    )
-    scored = (
-        q.join(base, ["table", "bucket"])
+    if max_bucket_size is not None:
+        # persist: the signature projection feeds both the size filter and
+        # the self-join (non-identical consumers, so ReusedExchange cannot
+        # dedupe); tracked in the shared keep-last-2 generation registry so
+        # repeated ANN calls don't accumulate cached blocks
+        bk = bk.persist()
+        from cassovary_spark.functions.dedup import _new_generation
+
+        _new_generation().append(bk)
+        small = (
+            bk.groupBy("table", "bucket")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") <= max_bucket_size)
+            .select("table", "bucket")
+        )
+        # same-key join as the candidate self-join below — one shuffle
+        # partitioning serves both
+        bk = bk.join(small, ["table", "bucket"])
+    cand = (
+        bk.select(F.col("id").alias("q"), "table", "bucket")
+        .join(bk.select(F.col("id").alias("v"), "table", "bucket"), ["table", "bucket"])
         .filter(F.col("q") != F.col("v"))
-        .select("q", "v", "q_emb", "v_emb", "q_norm", "v_norm")
-        .dropDuplicates(["q", "v"])
+        .select("q", "v")
+        .distinct()
+    )
+    x = embeddings.select(
+        F.col(id_col).alias("q"), F.col(vec_col).alias("q_emb")
+    ).withColumn("q_norm", _norm2(F.col("q_emb")))
+    y = embeddings.select(
+        F.col(id_col).alias("v"), F.col(vec_col).alias("v_emb")
+    ).withColumn("v_norm", _norm2(F.col("v_emb")))
+    scored = (
+        cand.join(x, "q")
+        .join(y, "v")
         .select(
             "q",
             "v",

@@ -156,7 +156,7 @@ def test_lsh_ann_general_recall_reasonable(spark, emb):
     # P(bit match) = 1 - 68/180 = 0.62, so recall theory for b=6, L=16 is
     # 1-(1-0.62^6)^16 ~ 0.61; assert the conservative half of that.
     dim = len(emb.first()["embedding"])
-    exact = cosine_top_k(emb, k=1).collect()
+    exact = cosine_top_k(emb, k=1, exact=True).collect()
     approx = lsh_bucketed_ann(
         emb, dim=dim, k=1, num_tables=16, planes_per_table=6
     ).collect()
@@ -165,6 +165,48 @@ def test_lsh_ann_general_recall_reasonable(spark, emb):
     hits = sum(1 for q, v in exact_top.items() if approx_top.get(q) == v)
     recall = hits / len(exact_top)
     assert recall >= 0.3, f"LSH recall@1 too low: {recall}"
+
+
+def test_cosine_topk_default_is_lsh_bucketed(spark, emb):
+    """cosine_top_k(queries=None) routes through the LSH buckets by default
+    (the 10^9-vector-safe path); exact=True is the all-pairs opt-in; no dim
+    and no exact is a loud error, mirroring embedding_near_dups."""
+    from cassovary_spark.functions import cosine_top_k, lsh_bucketed_ann
+
+    dim = len(emb.first()["embedding"])
+    via_default = sorted(
+        (r["q"], r["v"], round(r["score"], 9))
+        for r in cosine_top_k(emb, k=2, dim=dim).collect()
+    )
+    via_ann = sorted(
+        (r["q"], r["v"], round(r["score"], 9))
+        for r in lsh_bucketed_ann(emb, dim=dim, k=2).collect()
+    )
+    assert via_default == via_ann
+    with pytest.raises(ValueError, match="dim"):
+        cosine_top_k(emb, k=2)
+    # explicit queries path is untouched by the new routing params
+    q = emb.filter(F.col("vec_id") < 3)
+    assert cosine_top_k(emb, q, k=1).count() == 3
+
+
+def test_lsh_ann_max_bucket_size_cap(spark, emb):
+    """The hot-bucket cap drops only oversized (table, bucket) groups: with
+    a cap above every bucket size the output is unchanged; with cap=0 no
+    candidates survive."""
+    from cassovary_spark.functions import lsh_bucketed_ann
+
+    dim = len(emb.first()["embedding"])
+    uncapped = sorted(
+        (r["q"], r["v"]) for r in lsh_bucketed_ann(emb, dim=dim, k=1).collect()
+    )
+    n = emb.count()
+    capped_loose = sorted(
+        (r["q"], r["v"])
+        for r in lsh_bucketed_ann(emb, dim=dim, k=1, max_bucket_size=n).collect()
+    )
+    assert capped_loose == uncapped
+    assert lsh_bucketed_ann(emb, dim=dim, k=1, max_bucket_size=1).count() == 0
 
 
 def test_multimodal_plumbing(spark, docs):
