@@ -162,6 +162,12 @@ class StateScratch:
         # holds two) and let one DROP/overwrite the other's live state
         self._prefix = os.path.basename(self.dir).lower()
         self._bucketing_ok = True
+        # catalog table name backing the most recent roundtrip (None when the
+        # last write fell back to plain parquet) — lets operators reference
+        # the current state by name in a single spark.sql() superstep build,
+        # which saves ~15 py4j round-trips of DataFrame construction
+        # (measured ~10%/superstep, scripts/profile_superstep7.py)
+        self.last_table: str | None = None
         # ping-pong table rotation: per-superstep DROP+saveAsTable costs a
         # fixed ~0.33s of catalog DDL (measured, scripts/profile_superstep.py);
         # inserting into keep_last pre-created bucketed tables in rotation
@@ -271,6 +277,7 @@ class StateScratch:
                     # (observed: FileNotFoundException mid-superstep)
                     self.spark.catalog.refreshTable(name)
                     rotation.append(name)
+                self.last_table = name
                 out = self.spark.table(name)
                 return (out, obs.get["n"]) if with_count else out
             except Exception as exc:  # noqa: BLE001 — no-catalog environments
@@ -296,6 +303,7 @@ class StateScratch:
             import shutil
 
             shutil.rmtree(old, ignore_errors=True)
+        self.last_table = None
         out = self.spark.read.parquet(path)
         return (out, obs.get["n"]) if with_count else out
 
