@@ -855,7 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = bipartite_link_analysis(
             e, lw, num_iterations=2, reset_prob_left=0.3,
             reset_prob_right=0.1, num_top_contributors=2,
-            contributor_weight_rounding=6,
+            contributor_weight_rounding=6, engine="distributed",
         )
         def fmt(df, side):
             return df.select(

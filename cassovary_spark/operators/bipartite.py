@@ -38,6 +38,48 @@ class BipartiteAnalysis:
     right: DataFrame  # (id, weight, contributors: array<long>)
 
 
+def _bipartite_local(
+    spark,
+    edges: DataFrame,
+    left_weights: DataFrame,
+    num_iterations: int,
+    reset_prob_left: float,
+    reset_prob_right: float,
+    num_top_contributors: int,
+    rounding: int | None,
+) -> BipartiteAnalysis:
+    """Numpy twin route for sub-threshold graphs (COST-aware engine choice,
+    operators/local_engine.py) — one Arrow transfer of edges + supplied
+    weights, bincount flow passes, equality-tested vs the distributed path
+    (tests/test_bipartite_local.py). Rows emitted as plain Python tuples so
+    non-Arrow (bare driver) sessions convert the array column safely."""
+    import numpy as np
+
+    from cassovary_spark.operators import local_engine as LE
+
+    epdf = edges.select("src", "dst").toPandas()
+    lpdf = left_weights.select("id", "weight").toPandas()
+    l_ids, lw, l_c, r_ids, rw, r_c = LE.bipartite_numpy(
+        epdf["src"].to_numpy(np.int64),
+        epdf["dst"].to_numpy(np.int64),
+        lpdf["id"].to_numpy(np.int64),
+        lpdf["weight"].to_numpy(np.float64),
+        num_iterations,
+        reset_prob_left,
+        reset_prob_right,
+        num_top_contributors,
+        rounding,
+    )
+    schema = "id long, weight double, contributors array<bigint>"
+    left = spark.createDataFrame(
+        [(int(i), float(w), c) for i, w, c in zip(l_ids, lw, l_c)], schema
+    )
+    right = spark.createDataFrame(
+        [(int(i), float(w), c) for i, w, c in zip(r_ids, rw, r_c)], schema
+    )
+    return BipartiteAnalysis(left, right)
+
+
 def bipartite_link_analysis(
     edges: DataFrame,
     left_weights: DataFrame,
@@ -47,6 +89,7 @@ def bipartite_link_analysis(
     num_top_contributors: int = 3,
     num_partitions: int | None = None,
     contributor_weight_rounding: int | None = None,
+    engine: str = "auto",
 ) -> BipartiteAnalysis:
     """``edges`` are left->right pairs (src=left id, dst=right id);
     ``left_weights`` is ``(id, weight)`` initial left-side weights (the
@@ -58,9 +101,18 @@ def bipartite_link_analysis(
     comparisons (the reference's priority queue has unspecified tie order,
     so any deterministic refinement is valid)."""
     spark = edges.sparkSession
-    from cassovary_spark.plans import choose_partitions
+    from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions
 
-    p = choose_partitions(spark, edges, num_partitions)
+    m0 = edges.count()
+    if engine == "auto":
+        engine = "local" if m0 <= LOCAL_EDGE_THRESHOLD else "distributed"
+    if engine == "local":
+        return _bipartite_local(
+            spark, edges, left_weights, num_iterations, reset_prob_left,
+            reset_prob_right, num_top_contributors, contributor_weight_rounding,
+        )
+
+    p = choose_partitions(spark, m0, num_partitions)
 
     # subgraph restriction: only edges whose left endpoint was supplied
     e = (

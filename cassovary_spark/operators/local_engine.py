@@ -455,3 +455,99 @@ def ppr_numpy(
         pr = new_pr
         it += 1
     return pr, error, it
+
+
+def _topn_per_group(
+    group: np.ndarray,
+    member: np.ndarray,
+    weight: np.ndarray,
+    k: int,
+    rounding: int | None,
+):
+    """Per-group top-k members ordered by (weight desc, member asc) — the
+    twin of the distributed contributor window (bipartite.py row_number over
+    Window.partitionBy(dest).orderBy(weight desc, source asc)). Returns
+    (groups, members) rank-ordered within each group; duplicate edges keep
+    their duplicate rank slots, matching the row_number semantics."""
+    wkey = np.round(weight, rounding) if rounding is not None else weight
+    idx = np.lexsort((member, -wkey, group))
+    g = group[idx]
+    if len(g) == 0:
+        return g, member[idx]
+    starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
+    counts = np.diff(np.r_[starts, len(g)])
+    rank = np.arange(len(g)) - np.repeat(starts, counts)
+    keep = rank < k
+    return g[keep], member[idx][keep]
+
+
+def bipartite_numpy(
+    src: np.ndarray,
+    dst: np.ndarray,
+    lw_ids: np.ndarray,
+    lw_init: np.ndarray,
+    num_iterations: int,
+    reset_prob_left: float,
+    reset_prob_right: float,
+    num_top_contributors: int,
+    rounding: int | None,
+):
+    """Twin of operators/bipartite.py:bipartite_link_analysis (reference
+    graph/bipartite/IterativeLinkAnalyzer.scala:36-183): alternating
+    weight-flow passes over the left-restricted subgraph, with top-k
+    contributor recording on the final pass of each side.
+
+    ``lw_ids`` must be unique; ``lw_init`` aligned. Returns
+    (l_ids, l_weights, l_contrib_lists, r_ids, r_weights, r_contrib_lists)
+    where contrib lists are per-id Python lists of partner ids.
+    """
+    order = np.argsort(lw_ids, kind="stable")
+    l_ids = lw_ids[order]
+    init = lw_init[order].astype(np.float64)
+    nl = len(l_ids)
+    # subgraph restriction: edges whose left endpoint was supplied
+    pos = np.searchsorted(l_ids, src)
+    valid = (pos < nl) & (l_ids[np.minimum(pos, max(nl - 1, 0))] == src) if nl else np.zeros(len(src), bool)
+    sl = pos[valid]
+    dkeep = dst[valid]
+    r_ids = np.unique(dkeep)
+    nr = len(r_ids)
+    dr = np.searchsorted(r_ids, dkeep)
+    ldeg = np.bincount(sl, minlength=nl).astype(np.float64)
+    rdeg = np.bincount(dr, minlength=nr).astype(np.float64)
+
+    lw = init.copy()
+    rw = np.zeros(nr)
+    l_top = r_top = None
+    for it in range(1, num_iterations + 1):
+        last = it >= num_iterations - 1
+        if it % 2 == 1:  # left -> right
+            src_w = lw[sl]
+            flow = (src_w / ldeg[sl]) * (1.0 - reset_prob_right)
+            rw = np.bincount(dr, weights=flow, minlength=nr)
+            if last:
+                r_top = _topn_per_group(
+                    dr, l_ids[sl], src_w, num_top_contributors, rounding
+                )
+        else:  # right -> left
+            src_w = rw[dr]
+            flow = (src_w / rdeg[dr]) * (1.0 - reset_prob_left)
+            lw = reset_prob_left * init + np.bincount(
+                sl, weights=flow, minlength=nl
+            )
+            if last:
+                l_top = _topn_per_group(
+                    sl, r_ids[dr], src_w, num_top_contributors, rounding
+                )
+
+    def to_lists(top, n):
+        out = [[] for _ in range(n)]
+        if top is not None:
+            for g, mem in zip(*top):
+                out[g].append(int(mem))
+        return out
+
+    return (
+        l_ids, lw, to_lists(l_top, nl),
+        r_ids, rw, to_lists(r_top, nr),
+    )

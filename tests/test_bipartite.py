@@ -65,14 +65,15 @@ INIT = {1: 1.0, 2: 2.0, 3: 0.5, 4: 1.5}
 
 
 @pytest.mark.parametrize("iters", [1, 2, 3, 4])
-def test_bila_matches_oracle(spark, iters):
+@pytest.mark.parametrize("engine", ["local", "distributed"])
+def test_bila_matches_oracle(spark, iters, engine):
     from cassovary_spark.operators import bipartite_link_analysis
 
     e = spark.createDataFrame(EDGES, "src long, dst long")
     lw = spark.createDataFrame(list(INIT.items()), "id long, weight double")
     res = bipartite_link_analysis(
         e, lw, num_iterations=iters, reset_prob_left=0.3, reset_prob_right=0.1,
-        num_top_contributors=2,
+        num_top_contributors=2, engine=engine,
     )
     olw, orw, olc, orc = bila_oracle(EDGES, INIT, iters, 0.3, 0.1, 2)
 
@@ -95,3 +96,56 @@ def test_bila_restricts_to_supplied_left(spark):
     res = bipartite_link_analysis(e, lw, num_iterations=2)
     ids = {r["id"] for r in res.left.collect()}
     assert 99 not in ids
+
+
+def test_bila_local_matches_distributed_random(spark):
+    """Adaptive-engine equality on a random bipartite graph: same weights to
+    float tolerance, identical contributor lists under rounding=6 (the
+    cross-engine-stable ranking the entry queries use)."""
+    from cassovary_spark.operators import bipartite_link_analysis
+    from cassovary_spark.sources.generators import random_graph
+
+    g = random_graph(spark, 200, 0.04, seed=7)
+    from pyspark.sql import functions as F
+
+    # left ids 0..199 as-is, right ids offset into a distinct space
+    e = g.select("src", (F.col("dst") + 1000).alias("dst"))
+    lw = (
+        e.select(F.col("src").alias("id")).distinct()
+        # non-uniform init so contributor ranking is exercised
+        .withColumn("weight", (F.col("id") % 5 + 1).cast("double"))
+    )
+    kw = dict(num_iterations=4, reset_prob_left=0.25, reset_prob_right=0.15,
+              num_top_contributors=3, contributor_weight_rounding=6)
+    loc = bipartite_link_analysis(e, lw, engine="local", **kw)
+    dist = bipartite_link_analysis(e, lw, engine="distributed", **kw)
+
+    def to_map(df):
+        return {
+            r["id"]: (r["weight"], list(r["contributors"]))
+            for r in df.collect()
+        }
+
+    for side in ("left", "right"):
+        lm, dm = to_map(getattr(loc, side)), to_map(getattr(dist, side))
+        assert lm.keys() == dm.keys(), side
+        for k in lm:
+            assert lm[k][0] == pytest.approx(dm[k][0], abs=1e-9), (side, k)
+            assert lm[k][1] == dm[k][1], (side, k)
+
+
+def test_bila_empty_edges_local(spark):
+    from cassovary_spark.operators import bipartite_link_analysis
+
+    e = spark.createDataFrame([], "src long, dst long")
+    lw = spark.createDataFrame([(1, 2.0)], "id long, weight double")
+    # reset_prob_left keeps a share of init on the even pass; with no edges
+    # the left weight is exactly reset_left * init (same as distributed)
+    res = bipartite_link_analysis(
+        e, lw, num_iterations=2, reset_prob_left=0.3, engine="local"
+    )
+    rows = res.left.collect()
+    assert [(r["id"], r["weight"], list(r["contributors"])) for r in rows] == [
+        (1, pytest.approx(0.6), [])
+    ]
+    assert res.right.count() == 0
