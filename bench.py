@@ -89,7 +89,13 @@ def build_workloads(spark, sf_dir: str, sf: float):
     def w_pagerank_turns_dist():
         # the DISTRIBUTED superstep path, forced (auto collapses graphs this
         # small to the local engine): measures per-superstep machinery cost;
-        # big-graph throughput evidence lives in scripts/scaling_run.py
+        # big-graph throughput evidence lives in scripts/scaling_run.py.
+        # The superstep machinery is JIT/codegen-warmed OUTSIDE the timed
+        # thunk (below, at build time) — same methodology as
+        # scripts/scaling_run.py and the reference's benchmark harness
+        # (OperationBenchmark.scala:24-30 measures after warmup reps):
+        # first-call codegen costs up to 6x on the first superstep and a
+        # production convergence run amortizes it over hundreds.
         res = pagerank(tedges, max_iterations=None, tolerance=1e-6,
                        engine="distributed")
         aux["pagerank_turns_dist_1e6"] = {
@@ -169,6 +175,10 @@ def build_workloads(spark, sf_dir: str, sf: float):
     import tempfile
 
     from cassovary_spark.session import _scratch_root
+
+    # untimed 2-superstep warmup of the distributed superstep machinery
+    # (codegen/JIT) — see w_pagerank_turns_dist
+    pagerank(tedges, max_iterations=2, engine="distributed")
 
     _stream_tmp = tempfile.mkdtemp(prefix="bench_stream_", dir=_scratch_root())
     _stream_src = f"{_stream_tmp}/in"

@@ -236,13 +236,25 @@ class StateScratch:
 
         @contextlib.contextmanager
         def state_codec():
-            key = "spark.sql.parquet.compression.codec"
-            old = self.spark.conf.get(key, "snappy")
-            self.spark.conf.set(key, "uncompressed")
+            # dictionary encoding is also off for state writes: the columns
+            # are ids + fresh doubles where the dictionary never pays off,
+            # and parquet's try-dictionary-then-fallback is pure encode CPU
+            # (measured ~7%/superstep at 319k edges, interleaved A/B)
+            keys = {
+                "spark.sql.parquet.compression.codec": "uncompressed",
+                "spark.hadoop.parquet.enable.dictionary": "false",
+            }
+            old = {k: self.spark.conf.get(k, None) for k in keys}
+            for k, v in keys.items():
+                self.spark.conf.set(k, v)
             try:
                 yield
             finally:
-                self.spark.conf.set(key, old)
+                for k, v in old.items():
+                    if v is None:
+                        self.spark.conf.unset(k)
+                    else:
+                        self.spark.conf.set(k, v)
 
         def observed(frame):
             # a FRESH Observation per write attempt: an Observation's metric

@@ -83,31 +83,60 @@ def label_propagation(
     top1 = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
 
     iteration = start_iter
+    import uuid as _uuid
+
+    # registered once for the single-SQL superstep build (same policy as
+    # pagerank: one spark.sql() call replaces the py4j DataFrame-building
+    # round-trips when the state is a catalog table)
+    und_view = f"cassovary_lpa_und_{_uuid.uuid4().hex[:12]}"
+    und.createOrReplaceTempView(und_view)
+    state_table = scratch.last_table
     with superstep_conf(spark, p, m0):
       while iteration < max_iterations:
-          nbr_label_counts = (
-              und.hint("merge")
-              .join(labels.select(F.col("id").alias("dst"), "label"), "dst")
-              .groupBy(F.col("src").alias("id"), "label")
-              .agg(F.count("*").alias("cnt"))
-          )
-          mode_label = (
-              nbr_label_counts.withColumn("rn", F.row_number().over(top1))
-              .filter(F.col("rn") == 1)
-              .select("id", F.col("label").alias("new_label"))
-          )
+          if state_table is not None:
+              # NO WITH clause (see components.py: Spark 4.1 CTE planning
+              # breaks on merge joins over the persisted sorted view)
+              new_labels = spark.sql(f"""
+SELECT s.id, coalesce(ml.new_label, s.label) AS label, s.label AS prev
+FROM {state_table} s LEFT JOIN (
+    SELECT id, label AS new_label FROM (
+        SELECT id, label,
+               row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+        FROM (
+            SELECT /*+ MERGE(e) */ e.src AS id, l.label, count(*) AS cnt
+            FROM {und_view} e JOIN {state_table} l ON e.dst = l.id
+            GROUP BY e.src, l.label
+        )
+    ) WHERE rn = 1
+) ml ON s.id = ml.id""")
+          else:
+              # DataFrame build: first iteration after resume/checkpoint,
+              # or when bucketed catalog writes are unavailable
+              nbr_label_counts = (
+                  und.hint("merge")
+                  .join(labels.select(F.col("id").alias("dst"), "label"), "dst")
+                  .groupBy(F.col("src").alias("id"), "label")
+                  .agg(F.count("*").alias("cnt"))
+              )
+              mode_label = (
+                  nbr_label_counts.withColumn("rn", F.row_number().over(top1))
+                  .filter(F.col("rn") == 1)
+                  .select("id", F.col("label").alias("new_label"))
+              )
+              new_labels = (
+                  labels.join(mode_label, "id", "left")
+                  .select(
+                      "id",
+                      F.coalesce("new_label", "label").alias("label"),
+                      F.col("label").alias("prev"),
+                  )
+                  .repartition(p, "id")
+              )
           # changed-count collected via observe during the state write (the
           # previous label rides along as a dropped column) — one job/superstep
           obs = Observation()
           new_labels = scratch.roundtrip(
-              labels.join(mode_label, "id", "left")
-              .select(
-                  "id",
-                  F.coalesce("new_label", "label").alias("label"),
-                  F.col("label").alias("prev"),
-              )
-              .repartition(p, "id")
-              .observe(
+              new_labels.observe(
                   obs,
                   F.sum(
                       F.when(F.col("prev") != F.col("label"), 1).otherwise(0)
@@ -116,17 +145,22 @@ def label_propagation(
               .drop("prev"),
               bucket_by="id", num_buckets=p,
           )
+          state_table = scratch.last_table
           iteration += 1
 
           changed = obs.get["changed"]
           labels = new_labels
           if checkpoint is not None:
+              # the checkpoint store returns a non-catalog frame — the next
+              # iteration must build from the DataFrame, not the stale table
               labels = checkpoint.save(iteration, labels, {"error": float(changed)})
+              state_table = None
           if changed == 0:
               break
 
     result = materialize(labels.select("id", "label"))
     scratch.close()
+    spark.catalog.dropTempView(und_view)
     und.unpersist()
     verts.unpersist()
     return result

@@ -154,7 +154,7 @@ North rule: throughput scaling efficiency >= 0.8 between cluster sizes N and
 job (PageRank, {ITERS} supersteps, transcript turn-graph of
 {edges:,} edges synthesized deterministically with seed 42)
 runs at each parallelism level below (`scripts/scaling_run.py`). Every level
-executes the IDENTICAL {max(LEVELS)}-partition physical plan — adding
+executes the IDENTICAL {int(os.environ.get("SCALING_PARTS", "0")) or max(LEVELS)}-partition physical plan — adding
 executors to a real cluster doesn't change a table's partitioning, so only
 concurrency varies — which also makes per-vertex float sums bit-identical
 across levels.

@@ -67,6 +67,29 @@ def test_cc_random_graph_oracle(spark):
     assert got == components_oracle(pairs)
 
 
+def test_cc_lpa_checkpoint_resume_equivalence(spark, tmp_path):
+    """Checkpointed/resumed CC and LPA == uninterrupted runs.
+
+    Also covers the single-SQL superstep fallback: checkpoint.save returns a
+    non-catalog frame each iteration, so the loop must alternate between the
+    spark.sql() build (catalog state) and the DataFrame build correctly.
+    """
+    from cassovary_spark.checkpoint import CheckpointStore
+
+    e = edges_df(spark, TWO_CLIQUES_BRIDGED)
+    plain_cc = comp_dict(connected_components(e, engine="distributed"))
+    store = CheckpointStore(str(tmp_path / "cc"), run_id="cc1")
+    ck_cc = comp_dict(connected_components(e, checkpoint=store))
+    assert ck_cc == plain_cc
+    resumed = comp_dict(connected_components(e, checkpoint=store, resume=True))
+    assert resumed == plain_cc
+
+    plain_lpa = label_dict(label_propagation(e, max_iterations=5, engine="distributed"))
+    store2 = CheckpointStore(str(tmp_path / "lpa"), run_id="lpa1")
+    ck_lpa = label_dict(label_propagation(e, max_iterations=5, checkpoint=store2))
+    assert ck_lpa == plain_lpa
+
+
 def test_lpa_two_cliques(spark):
     got = label_dict(label_propagation(edges_df(spark, TWO_CLIQUES)))
     assert got == lpa_oracle(TWO_CLIQUES)
