@@ -88,6 +88,41 @@ def test_pagerank_property(spark, pairs):
         assert got[v] == pytest.approx(pr, abs=1e-9)
 
 
+# distributed-pinned variants: the single-spark.sql() superstep builds
+# (components.py/labelprop.py) are string-assembled plans — pin them to the
+# same oracles on adversarial shapes (duplicate edges, self-loops, cycles)
+# instead of relying only on the fixed-graph local==distributed equality
+DIST_SETTINGS = dict(SETTINGS, max_examples=3)
+
+
+@settings(**DIST_SETTINGS)
+@given(pairs=edge_lists)
+def test_components_distributed_property(spark, pairs):
+    from cassovary_spark.operators import connected_components
+
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            edges_df(spark, pairs), engine="distributed"
+        ).collect()
+    }
+    assert got == components_oracle(pairs)
+
+
+@settings(**DIST_SETTINGS)
+@given(pairs=edge_lists)
+def test_lpa_distributed_property(spark, pairs):
+    from cassovary_spark.operators import label_propagation
+
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(
+            edges_df(spark, pairs), max_iterations=6, engine="distributed"
+        ).collect()
+    }
+    assert got == lpa_oracle(pairs, max_iterations=6)
+
+
 @settings(**SETTINGS)
 @given(pairs=edge_lists)
 def test_bfs_property(spark, pairs):
