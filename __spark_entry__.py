@@ -990,6 +990,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id"
         )
 
+    def q_doc_pipeline(spark, sf):
+        """Composed training-data pipeline over documents: exact dedup
+        (canonical min-id reps) -> quality + language scoring of ONLY the
+        kept docs -> filter (quality >= 0.75 and lang 'en') -> deterministic
+        key-consistent hash-sample at 50%. Dedup runs FIRST so the expensive
+        scoring touches the reduced corpus — the stage order that matters at
+        100 TB."""
+        from cassovary_spark.functions import (
+            exact_dedup,
+            language_id,
+            quality_score,
+            sample_by_hash,
+        )
+
+        d = docs(spark, sf)
+        reps = exact_dedup(d).select("doc_id")
+        kept = d.join(reps, "doc_id")
+        scored = language_id(quality_score(kept))
+        filtered = scored.filter(
+            (F.col("quality") >= 0.75) & (F.col("lang_id") == "en")
+        )
+        return sample_by_hash(filtered, 0.5, key_col="doc_id").select(
+            "doc_id", F.round("quality", 6).alias("quality"), "lang_id"
+        )
+
     return {
         "cs_edges": q_cs_edges,
         "ev_edges": q_ev_edges,
@@ -1036,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_densify": q_tr_densify,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_sample_hash": q_doc_sample_hash,
+        "doc_pipeline": q_doc_pipeline,
     }
 
 
@@ -1387,6 +1413,55 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""",
 SELECT doc_id FROM documents
 WHERE ('0x' || substring(md5(doc_id::VARCHAR || '|42'), 1, 13))::BIGINT
       / 4503599627370496.0 < 0.25""",
+        # composed pipeline: dedup reps -> quality + language -> filter ->
+        # 50% hash sample; same per-doc formulas as doc_quality /
+        # doc_language_id / doc_sample_hash, intersected with the dedup reps
+        "doc_pipeline": f"""
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, {_DOC_NORM} AS n FROM documents) GROUP BY n
+),
+t AS (
+  SELECT doc_id, text,
+         len({_DOC_TOKENS}) AS n_tok,
+         greatest(length(text), 1) AS n_chars,
+         list_transform({_DOC_TOKENS}, x -> lower(x)) AS toks
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM reps)
+),
+f AS (
+  SELECT doc_id, n_tok, n_chars,
+    n_chars::DOUBLE / greatest(n_tok, 1) AS mwl,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / n_chars AS pr,
+    len(list_filter(toks, t -> list_contains({stop_en}, t)))::DOUBLE
+      / greatest(n_tok, 1) AS sr,
+    toks
+  FROM t
+),
+q AS (
+  SELECT doc_id, (
+      (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+    + least(sr * 4, 1.0)
+  ) / 4 AS quality,
+  {lang_hits}
+  FROM f
+),
+s AS (
+  SELECT doc_id, quality,
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+         WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+         WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+         ELSE 'de' END AS lang_id
+  FROM q
+)
+SELECT doc_id, ROUND(quality, 6) AS quality, lang_id
+FROM s
+WHERE quality >= 0.75 AND lang_id = 'en'
+  AND ('0x' || substring(md5(doc_id::VARCHAR || '|42'), 1, 13))::BIGINT
+      / 4503599627370496.0 < 0.5""",
         "tr_densify": """
 SELECT event_type AS external_id,
        ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS id
