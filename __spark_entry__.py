@@ -968,6 +968,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a", "b", F.round("score", 6).alias("score")
         )
 
+    def q_emb_pipeline(spark, sf):
+        """Embedding-side training-data pipeline: LSH-bucketed near-dup
+        pairs -> connected-component clusters -> keep canonical (min-id)
+        reps -> deterministic key-consistent 50% hash sample. The embedding
+        analog of doc_pipeline: candidate generation is bucketed (never
+        all-pairs), clustering reuses the distributed CC operator, and the
+        sample is replayable by key."""
+        from cassovary_spark.functions import (
+            dedup_clusters,
+            embedding_near_dups,
+            sample_by_hash,
+        )
+
+        e = emb(spark, sf)
+        pairs = embedding_near_dups(e, threshold=0.3, dim=ANN_DIM).select("a", "b")
+        clusters = dedup_clusters(pairs, ids=e, id_col="vec_id")
+        reps = clusters.filter(F.col("vec_id") == F.col("rep")).select("vec_id")
+        return sample_by_hash(reps, 0.5, key_col="vec_id")
+
     def q_tr_densify(spark, sf):
         from cassovary_spark.graph import densify_ids
 
@@ -1058,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_capped": q_doc_ngram_capped,
         "doc_simhash_capped": q_doc_simhash_capped,
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
+        "emb_pipeline": q_emb_pipeline,
         "tr_densify": q_tr_densify,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_sample_hash": q_doc_sample_hash,
@@ -1382,6 +1402,30 @@ FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.5""",
         "doc_simhash_capped": _simhash_capped_sql(max_hamming=3, max_bucket_size=10),
         "emb_near_dups_lsh": _emb_near_dups_lsh_sql(dim=ANN_DIM, threshold=0.3),
+        # embedding pipeline: the near-dup LSH SQL as a derived table, then
+        # symmetric closure -> recursive reachability -> min-id reps ->
+        # md5 hash-sample (same constructions as doc_dedup_clusters /
+        # doc_sample_hash)
+        "emb_pipeline": f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM (
+{_emb_near_dups_lsh_sql(dim=ANN_DIM, threshold=0.3)}
+  )
+),
+ed AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(id, rep) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM ed)
+  UNION
+  SELECT e.dst, r.rep FROM reach r JOIN ed e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(rep) AS rep FROM reach GROUP BY id),
+reps AS (
+  SELECT em.vec_id FROM embeddings em LEFT JOIN comp c ON c.id = em.vec_id
+  WHERE COALESCE(c.rep, em.vec_id) = em.vec_id
+)
+SELECT vec_id FROM reps
+WHERE ('0x' || substring(md5(vec_id::VARCHAR || '|42'), 1, 13))::BIGINT
+      / 4503599627370496.0 < 0.5""",
         "doc_dedup_clusters": f"""
 {_SHINGLES_SQL.replace("WITH norm", "WITH RECURSIVE norm", 1)},
 {minhash_ab},
