@@ -399,3 +399,30 @@ def test_dedup_cache_generations_bounded(spark, docs):
     assert len(dd._cache_generations) <= 2
     assert release_caches() >= 1
     assert dd._cache_generations == []
+
+
+def test_pipeline_driver_keys_deterministic(spark):
+    """The composed pipeline queries (doc_pipeline / emb_pipeline) are
+    deterministic end-to-end: fixed schema, fixed row count on the fixed
+    sf0.001 corpus, and every surviving row satisfies the filter predicates.
+    (Value-level parity vs the DuckDB oracles is the driver's check; this
+    pins the composition locally.)"""
+    import os
+
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        _pytest.skip(f"testdata missing: {sf}")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    d = qs["doc_pipeline"](spark, sf)
+    assert d.columns == ["doc_id", "quality", "lang_id"]
+    rows = d.collect()
+    assert len(rows) == 171
+    assert all(r["lang_id"] == "en" and r["quality"] >= 0.75 for r in rows)
+
+    e = qs["emb_pipeline"](spark, sf)
+    assert e.columns == ["vec_id"]
+    assert e.count() == 174
