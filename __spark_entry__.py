@@ -698,7 +698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.ranks.select("id", F.round("pagerank", 6).alias("pagerank"))
 
     def q_ev_hits(spark, sf):
-        res = hits(_ev_edges(spark, sf), max_iterations=HITS_ITERS)
+        # distributed-pinned: oracle certifies the alternating hub/authority
+        # superstep plan (normalization order, Hits.scala:53-110), not the twin
+        res = hits(_ev_edges(spark, sf), max_iterations=HITS_ITERS, engine="distributed")
         return res.scores.select(
             "id", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
         )
@@ -737,9 +739,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_ev_ppr(spark, sf):
         # tolerance=0 pins exactly 10 supersteps so the unrolled SQL oracle
-        # is step-for-step identical (no early convergence divergence)
+        # is step-for-step identical (no early convergence divergence);
+        # distributed-pinned so the oracle certifies the scale-path PPR plan
+        # (dangling handling) rather than the numpy twin
         return personalized_pagerank(
-            _ev_edges(spark, sf), [0], max_iterations=10, tolerance=0.0
+            _ev_edges(spark, sf), [0], max_iterations=10, tolerance=0.0,
+            engine="distributed",
         ).select("id", F.round("score", 6).alias("score"))
 
     def q_doc_dedup(spark, sf):
@@ -927,7 +932,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from cassovary_spark.sources import synth_transcripts, turn_edges
 
         t = synth_transcripts(spark, n_convs=100, seed=42, rng="md5")
-        res = pagerank(turn_edges(t), max_iterations=PR_ITERS)
+        # distributed-pinned (ADVICE r3): the turn-edge-graph distributed
+        # pagerank plan gets oracle coverage, not just cs_pagerank5's
+        res = pagerank(turn_edges(t), max_iterations=PR_ITERS, engine="distributed")
         return res.ranks.select("id", F.round("pagerank", 6).alias("pagerank"))
 
     def q_ev_bfs_events(spark, sf):

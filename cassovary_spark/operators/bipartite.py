@@ -51,7 +51,7 @@ def _bipartite_local(
     """Numpy twin route for sub-threshold graphs (COST-aware engine choice,
     operators/local_engine.py) — one Arrow transfer of edges + supplied
     weights, bincount flow passes, equality-tested vs the distributed path
-    (tests/test_bipartite_local.py). Rows emitted as plain Python tuples so
+    (tests/test_bipartite.py). Rows emitted as plain Python tuples so
     non-Arrow (bare driver) sessions convert the array column safely."""
     import numpy as np
 

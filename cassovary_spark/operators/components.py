@@ -92,87 +92,95 @@ def connected_components(
     und_view = f"cassovary_cc_und_{_uuid.uuid4().hex[:12]}"
     und.createOrReplaceTempView(und_view)
     state_table = scratch.last_table
-    with superstep_conf(spark, p, m0):
-      while max_iterations is None or iteration < max_iterations:
-          if state_table is not None:
-              # NO WITH clause: Spark 4.1's CTE planning loses the persisted
-              # sorted view's ordering attributes when the CTE body contains
-              # a merge join over it ("key not found: dst#N" in SortExec
-              # during prepareForExecution) — inline subqueries plan fine and
-              # identical subtrees still collapse to ReusedExchange
-              gather = f"""
-    SELECT /*+ MERGE(e) */ e.src AS id, min(l.component) AS nbr_component
-    FROM {und_view} e JOIN {state_table} l ON e.dst = l.id
-    GROUP BY e.src"""
-              update = f"""SELECT s.id,
-       least(s.component, coalesce(c.nbr_component, s.component)) AS component
-FROM {state_table} s
-LEFT JOIN ({gather}
-) c ON s.id = c.id"""
-              if pointer_jump:
-                  # label(v) <- label(label(v)): self-join of the update
-                  # subquery (duplicated subtree, deduplicated by the planner)
-                  new_labels = spark.sql(f"""
-SELECT nl.id, coalesce(lut.component, nl.component) AS component
-FROM ({update}) nl
-LEFT JOIN ({update}) lut ON nl.component = lut.id""")
-              else:
-                  new_labels = spark.sql(update)
-          else:
-              # DataFrame build: first iteration after resume/checkpoint,
-              # or when bucketed catalog writes are unavailable
-              nbr_min = (
-                  und.hint("merge")
-                  .join(labels.select(F.col("id").alias("dst"), "component"), "dst")
-                  .groupBy(F.col("src").alias("id"))
-                  .agg(F.min("component").alias("nbr_component"))
-              )
-              new_labels = (
-                  labels.join(nbr_min, "id", "left")
-                  .select(
-                      "id",
-                      F.least(
-                          "component", F.coalesce("nbr_component", "component")
-                      ).alias("component"),
-                  )
-              )
-              if pointer_jump:
-                  # label(v) <- label(label(v)): self-join on the label table only
-                  lut = new_labels.select(
-                      F.col("id").alias("component"),
-                      F.col("component").alias("jump"),
-                  )
-                  new_labels = (
-                      new_labels.join(lut, "component", "left")
-                      .select("id", F.coalesce("jump", "component").alias("component"))
-                  )
-              new_labels = new_labels.repartition(p, "id")
-          # convergence metric (Σ labels strictly decreases until fixpoint)
-          # collected via observe during the state write — one job/superstep
-          obs = Observation()
-          new_labels = scratch.roundtrip(
-              new_labels.observe(obs, F.sum("component").alias("s")),
-              bucket_by="id", num_buckets=p,
-          )
-          state_table = scratch.last_table
-          iteration += 1
+    # try/finally: a failure mid-superstep must not leak the temp view,
+    # scratch tables, or the persisted frames for the session lifetime
+    # (ADVICE r3)
+    try:
+      with superstep_conf(spark, p, m0):
+        while max_iterations is None or iteration < max_iterations:
+            if state_table is not None:
+                # NO WITH clause: Spark 4.1's CTE planning loses the persisted
+                # sorted view's ordering attributes when the CTE body contains
+                # a merge join over it ("key not found: dst#N" in SortExec
+                # during prepareForExecution) — inline subqueries plan fine and
+                # identical subtrees still collapse to ReusedExchange
+                gather = f"""
+      SELECT /*+ MERGE(e) */ e.src AS id, min(l.component) AS nbr_component
+      FROM {und_view} e JOIN {state_table} l ON e.dst = l.id
+      GROUP BY e.src"""
+                update = f"""SELECT s.id,
+         least(s.component, coalesce(c.nbr_component, s.component)) AS component
+  FROM {state_table} s
+  LEFT JOIN ({gather}
+  ) c ON s.id = c.id"""
+                if pointer_jump:
+                    # label(v) <- label(label(v)): self-join of the update
+                    # subquery (duplicated subtree, deduplicated by the planner)
+                    new_labels = spark.sql(f"""
+  SELECT nl.id, coalesce(lut.component, nl.component) AS component
+  FROM ({update}) nl
+  LEFT JOIN ({update}) lut ON nl.component = lut.id""")
+                else:
+                    new_labels = spark.sql(update)
+            else:
+                # DataFrame build: first iteration after resume/checkpoint,
+                # or when bucketed catalog writes are unavailable
+                nbr_min = (
+                    und.hint("merge")
+                    .join(labels.select(F.col("id").alias("dst"), "component"), "dst")
+                    .groupBy(F.col("src").alias("id"))
+                    .agg(F.min("component").alias("nbr_component"))
+                )
+                new_labels = (
+                    labels.join(nbr_min, "id", "left")
+                    .select(
+                        "id",
+                        F.least(
+                            "component", F.coalesce("nbr_component", "component")
+                        ).alias("component"),
+                    )
+                )
+                if pointer_jump:
+                    # label(v) <- label(label(v)): self-join on the label table only
+                    lut = new_labels.select(
+                        F.col("id").alias("component"),
+                        F.col("component").alias("jump"),
+                    )
+                    new_labels = (
+                        new_labels.join(lut, "component", "left")
+                        .select("id", F.coalesce("jump", "component").alias("component"))
+                    )
+                new_labels = new_labels.repartition(p, "id")
+            # convergence metric (Σ labels strictly decreases until fixpoint)
+            # collected via observe during the state write — one job/superstep
+            obs = Observation()
+            new_labels = scratch.roundtrip(
+                new_labels.observe(obs, F.sum("component").alias("s")),
+                bucket_by="id", num_buckets=p,
+            )
+            state_table = scratch.last_table
+            iteration += 1
 
-          cur_sum = obs.get["s"]
-          labels = new_labels
-          if checkpoint is not None:
-              # the checkpoint store returns a non-catalog frame — the next
-              # iteration must build from the DataFrame, not the stale table
-              labels = checkpoint.save(
-                  iteration, labels, {"error": float(prev_sum - cur_sum), "label_sum": cur_sum}
-              )
-              state_table = None
-          if cur_sum == prev_sum:
-              break
-          prev_sum = cur_sum
+            cur_sum = obs.get["s"]
+            labels = new_labels
+            if checkpoint is not None:
+                # the checkpoint store returns a non-catalog frame — the next
+                # iteration must build from the DataFrame, not the stale table
+                labels = checkpoint.save(
+                    iteration, labels, {"error": float(prev_sum - cur_sum), "label_sum": cur_sum}
+                )
+                state_table = None
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
 
-    result = materialize(labels.select("id", "component"))
-    scratch.close()
-    spark.catalog.dropTempView(und_view)
-    und.unpersist()
-    verts.unpersist()
+      result = materialize(labels.select("id", "component"))
+    finally:
+        scratch.close()
+        try:
+            spark.catalog.dropTempView(und_view)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+        und.unpersist()
+        verts.unpersist()
     return result

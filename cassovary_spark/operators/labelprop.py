@@ -91,76 +91,84 @@ def label_propagation(
     und_view = f"cassovary_lpa_und_{_uuid.uuid4().hex[:12]}"
     und.createOrReplaceTempView(und_view)
     state_table = scratch.last_table
-    with superstep_conf(spark, p, m0):
-      while iteration < max_iterations:
-          if state_table is not None:
-              # NO WITH clause (see components.py: Spark 4.1 CTE planning
-              # breaks on merge joins over the persisted sorted view)
-              new_labels = spark.sql(f"""
-SELECT s.id, coalesce(ml.new_label, s.label) AS label, s.label AS prev
-FROM {state_table} s LEFT JOIN (
-    SELECT id, label AS new_label FROM (
-        SELECT id, label,
-               row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
-        FROM (
-            SELECT /*+ MERGE(e) */ e.src AS id, l.label, count(*) AS cnt
-            FROM {und_view} e JOIN {state_table} l ON e.dst = l.id
-            GROUP BY e.src, l.label
-        )
-    ) WHERE rn = 1
-) ml ON s.id = ml.id""")
-          else:
-              # DataFrame build: first iteration after resume/checkpoint,
-              # or when bucketed catalog writes are unavailable
-              nbr_label_counts = (
-                  und.hint("merge")
-                  .join(labels.select(F.col("id").alias("dst"), "label"), "dst")
-                  .groupBy(F.col("src").alias("id"), "label")
-                  .agg(F.count("*").alias("cnt"))
-              )
-              mode_label = (
-                  nbr_label_counts.withColumn("rn", F.row_number().over(top1))
-                  .filter(F.col("rn") == 1)
-                  .select("id", F.col("label").alias("new_label"))
-              )
-              new_labels = (
-                  labels.join(mode_label, "id", "left")
-                  .select(
-                      "id",
-                      F.coalesce("new_label", "label").alias("label"),
-                      F.col("label").alias("prev"),
-                  )
-                  .repartition(p, "id")
-              )
-          # changed-count collected via observe during the state write (the
-          # previous label rides along as a dropped column) — one job/superstep
-          obs = Observation()
-          new_labels = scratch.roundtrip(
-              new_labels.observe(
-                  obs,
-                  F.sum(
-                      F.when(F.col("prev") != F.col("label"), 1).otherwise(0)
-                  ).alias("changed"),
-              )
-              .drop("prev"),
-              bucket_by="id", num_buckets=p,
+    # try/finally: a failure mid-superstep must not leak the temp view,
+    # scratch tables, or the persisted frames for the session lifetime
+    # (ADVICE r3)
+    try:
+      with superstep_conf(spark, p, m0):
+        while iteration < max_iterations:
+            if state_table is not None:
+                # NO WITH clause (see components.py: Spark 4.1 CTE planning
+                # breaks on merge joins over the persisted sorted view)
+                new_labels = spark.sql(f"""
+  SELECT s.id, coalesce(ml.new_label, s.label) AS label, s.label AS prev
+  FROM {state_table} s LEFT JOIN (
+      SELECT id, label AS new_label FROM (
+          SELECT id, label,
+                 row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+          FROM (
+              SELECT /*+ MERGE(e) */ e.src AS id, l.label, count(*) AS cnt
+              FROM {und_view} e JOIN {state_table} l ON e.dst = l.id
+              GROUP BY e.src, l.label
           )
-          state_table = scratch.last_table
-          iteration += 1
+      ) WHERE rn = 1
+  ) ml ON s.id = ml.id""")
+            else:
+                # DataFrame build: first iteration after resume/checkpoint,
+                # or when bucketed catalog writes are unavailable
+                nbr_label_counts = (
+                    und.hint("merge")
+                    .join(labels.select(F.col("id").alias("dst"), "label"), "dst")
+                    .groupBy(F.col("src").alias("id"), "label")
+                    .agg(F.count("*").alias("cnt"))
+                )
+                mode_label = (
+                    nbr_label_counts.withColumn("rn", F.row_number().over(top1))
+                    .filter(F.col("rn") == 1)
+                    .select("id", F.col("label").alias("new_label"))
+                )
+                new_labels = (
+                    labels.join(mode_label, "id", "left")
+                    .select(
+                        "id",
+                        F.coalesce("new_label", "label").alias("label"),
+                        F.col("label").alias("prev"),
+                    )
+                    .repartition(p, "id")
+                )
+            # changed-count collected via observe during the state write (the
+            # previous label rides along as a dropped column) — one job/superstep
+            obs = Observation()
+            new_labels = scratch.roundtrip(
+                new_labels.observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("prev") != F.col("label"), 1).otherwise(0)
+                    ).alias("changed"),
+                )
+                .drop("prev"),
+                bucket_by="id", num_buckets=p,
+            )
+            state_table = scratch.last_table
+            iteration += 1
 
-          changed = obs.get["changed"]
-          labels = new_labels
-          if checkpoint is not None:
-              # the checkpoint store returns a non-catalog frame — the next
-              # iteration must build from the DataFrame, not the stale table
-              labels = checkpoint.save(iteration, labels, {"error": float(changed)})
-              state_table = None
-          if changed == 0:
-              break
+            changed = obs.get["changed"]
+            labels = new_labels
+            if checkpoint is not None:
+                # the checkpoint store returns a non-catalog frame — the next
+                # iteration must build from the DataFrame, not the stale table
+                labels = checkpoint.save(iteration, labels, {"error": float(changed)})
+                state_table = None
+            if changed == 0:
+                break
 
-    result = materialize(labels.select("id", "label"))
-    scratch.close()
-    spark.catalog.dropTempView(und_view)
-    und.unpersist()
-    verts.unpersist()
+      result = materialize(labels.select("id", "label"))
+    finally:
+        scratch.close()
+        try:
+            spark.catalog.dropTempView(und_view)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+        und.unpersist()
+        verts.unpersist()
     return result

@@ -469,7 +469,14 @@ def _topn_per_group(
     Window.partitionBy(dest).orderBy(weight desc, source asc)). Returns
     (groups, members) rank-ordered within each group; duplicate edges keep
     their duplicate rank slots, matching the row_number semantics."""
-    wkey = np.round(weight, rounding) if rounding is not None else weight
+    if rounding is not None:
+        # match Spark's F.round (BigDecimal HALF_UP: half away from zero),
+        # not np.round's half-to-even — exact-half weights (dyadic weights
+        # with power-of-2 degrees) must order identically in both engines
+        scale = 10.0 ** rounding
+        wkey = np.sign(weight) * np.floor(np.abs(weight) * scale + 0.5) / scale
+    else:
+        wkey = weight
     idx = np.lexsort((member, -wkey, group))
     g = group[idx]
     if len(g) == 0:

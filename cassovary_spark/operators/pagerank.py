@@ -194,105 +194,113 @@ def pagerank(
     # bucketed mode); None right after resume/checkpoint frames, which are
     # not catalog tables — those iterations use the DataFrame build below
     state_table = scratch.last_table
-    # small graphs: AQE off + shuffle partitions pinned to p for the loop
-    with superstep_conf(spark, p, m):
-      while not terminated(iteration, error):
-          _t0 = _time.time()
-          dangle_sum = damping * dangle_mass / n
+    # try/finally: a failure mid-superstep must not leak the temp view,
+    # scratch tables, or the persisted verts/wedges for the session lifetime
+    # (ADVICE r3)
+    try:
+      # small graphs: AQE off + shuffle partitions pinned to p for the loop
+      with superstep_conf(spark, p, m):
+        while not terminated(iteration, error):
+            _t0 = _time.time()
+            dangle_sum = damping * dangle_mass / n
 
-          # MERGE hints pin sort-merge joins: never broadcast the O(V) rank
-          # table (a per-superstep driver roundtrip, fatal at scale), and the
-          # pre-sorted cached sides make SMJ sort only the small fresh side.
-          if gather_engine != "pandas" and state_table is not None:
-              # one spark.sql() call instead of ~15 py4j DataFrame-building
-              # round-trips — measured ~10% of the superstep fixed cost at
-              # 319k edges (scripts/profile_superstep7.py); plan and
-              # checksums identical to the DataFrame build below
-              new_ranks = spark.sql(f"""
-SELECT /*+ MERGE(c) */ s.id,
-       coalesce(c.gathered, 0.0d) + {damping_amount!r}d + {dangle_sum!r}d
-           AS pagerank,
-       s.is_dangling,
-       s.pagerank AS prev
-FROM {state_table} s
-LEFT JOIN (
-    SELECT /*+ MERGE(r) */ e.dst AS id, sum(e.w * r.pagerank) AS gathered
-    FROM {wedges_view} e JOIN {state_table} r ON e.src = r.id
-    GROUP BY e.dst
-) c ON s.id = c.id""")
-          else:
-              if gather_engine == "pandas":
-                  from cassovary_spark.operators.csr import pandas_gather_sum
+            # MERGE hints pin sort-merge joins: never broadcast the O(V) rank
+            # table (a per-superstep driver roundtrip, fatal at scale), and the
+            # pre-sorted cached sides make SMJ sort only the small fresh side.
+            if gather_engine != "pandas" and state_table is not None:
+                # one spark.sql() call instead of ~15 py4j DataFrame-building
+                # round-trips — measured ~10% of the superstep fixed cost at
+                # 319k edges (scripts/profile_superstep7.py); plan and
+                # checksums identical to the DataFrame build below
+                new_ranks = spark.sql(f"""
+  SELECT /*+ MERGE(c) */ s.id,
+         coalesce(c.gathered, 0.0d) + {damping_amount!r}d + {dangle_sum!r}d
+             AS pagerank,
+         s.is_dangling,
+         s.pagerank AS prev
+  FROM {state_table} s
+  LEFT JOIN (
+      SELECT /*+ MERGE(r) */ e.dst AS id, sum(e.w * r.pagerank) AS gathered
+      FROM {wedges_view} e JOIN {state_table} r ON e.src = r.id
+      GROUP BY e.dst
+  ) c ON s.id = c.id""")
+            else:
+                if gather_engine == "pandas":
+                    from cassovary_spark.operators.csr import pandas_gather_sum
 
-                  contribs = pandas_gather_sum(wedges, ranks)
-              else:
-                  contribs = (
-                      wedges.hint("merge")
-                      .join(ranks.select(F.col("id").alias("src"), "pagerank"), "src")
-                      .groupBy("dst")
-                      .agg(F.sum(F.col("w") * F.col("pagerank")).alias("gathered"))
-                  )
-              # the rank table itself is the full vertex set, so the update
-              # join is ranks (not verts) x contribs — and the T1 error +
-              # next dangling mass are collected via ``observe`` DURING the
-              # state-write job (CollectMetrics runs as the rows stream to
-              # the sink), so each superstep is exactly ONE job with ONE read
-              # of the previous state and ONE write of the new state — no
-              # separate stats scan. No explicit repartition: the update
-              # join's output already reports hash(id) partitioning, and the
-              # bucketed write adds its own exchange if it ever doesn't
-              # (measured: the explicit exchange only cost time,
-              # scripts/profile_superstep4.py).
-              new_ranks = (
-                  ranks.hint("merge")
-                  .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
-                  .select(
-                      "id",
-                      (
-                          F.coalesce(F.col("gathered"), F.lit(0.0))
-                          + F.lit(damping_amount)
-                          + F.lit(dangle_sum)
-                      ).alias("pagerank"),
-                      "is_dangling",
-                      F.col("pagerank").alias("prev"),
-                  )
-              )
-          obs = Observation()
-          observed = new_ranks.observe(
-              obs,
-              F.sum(F.abs(F.col("prev") - F.col("pagerank"))).alias("e"),
-              F.sum(F.when(F.col("is_dangling"), F.col("pagerank"))).alias("d"),
-          ).drop("prev")
-          new_ranks = scratch.roundtrip(observed, bucket_by="id", num_buckets=p)
-          state_table = scratch.last_table
-          stats = obs.get
-          error = stats["e"]
-          dangle_mass = stats["d"] or 0.0
-          iteration += 1
-          row = {
-              "iteration": iteration,
-              "error": error,
-              "dangle_sum": dangle_sum,
-              "node_count": n,
-              "edge_count": m,
-              "wall_sec": round(_time.time() - _t0, 3),
-              "state_bucketed": scratch._bucketing_ok,
-          }
-          history.append(row)
-          if checkpoint is not None and iteration % checkpoint_every == 0:
-              # the checkpoint store returns its own (non-catalog) frame —
-              # the next iteration must build from the DataFrame, not the
-              # now-stale scratch table name
-              new_ranks = checkpoint.save(iteration, new_ranks, row)
-              state_table = None
-          ranks = new_ranks
+                    contribs = pandas_gather_sum(wedges, ranks)
+                else:
+                    contribs = (
+                        wedges.hint("merge")
+                        .join(ranks.select(F.col("id").alias("src"), "pagerank"), "src")
+                        .groupBy("dst")
+                        .agg(F.sum(F.col("w") * F.col("pagerank")).alias("gathered"))
+                    )
+                # the rank table itself is the full vertex set, so the update
+                # join is ranks (not verts) x contribs — and the T1 error +
+                # next dangling mass are collected via ``observe`` DURING the
+                # state-write job (CollectMetrics runs as the rows stream to
+                # the sink), so each superstep is exactly ONE job with ONE read
+                # of the previous state and ONE write of the new state — no
+                # separate stats scan. No explicit repartition: the update
+                # join's output already reports hash(id) partitioning, and the
+                # bucketed write adds its own exchange if it ever doesn't
+                # (measured: the explicit exchange only cost time,
+                # scripts/profile_superstep4.py).
+                new_ranks = (
+                    ranks.hint("merge")
+                    .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+                    .select(
+                        "id",
+                        (
+                            F.coalesce(F.col("gathered"), F.lit(0.0))
+                            + F.lit(damping_amount)
+                            + F.lit(dangle_sum)
+                        ).alias("pagerank"),
+                        "is_dangling",
+                        F.col("pagerank").alias("prev"),
+                    )
+                )
+            obs = Observation()
+            observed = new_ranks.observe(
+                obs,
+                F.sum(F.abs(F.col("prev") - F.col("pagerank"))).alias("e"),
+                F.sum(F.when(F.col("is_dangling"), F.col("pagerank"))).alias("d"),
+            ).drop("prev")
+            new_ranks = scratch.roundtrip(observed, bucket_by="id", num_buckets=p)
+            state_table = scratch.last_table
+            stats = obs.get
+            error = stats["e"]
+            dangle_mass = stats["d"] or 0.0
+            iteration += 1
+            row = {
+                "iteration": iteration,
+                "error": error,
+                "dangle_sum": dangle_sum,
+                "node_count": n,
+                "edge_count": m,
+                "wall_sec": round(_time.time() - _t0, 3),
+                "state_bucketed": scratch._bucketing_ok,
+            }
+            history.append(row)
+            if checkpoint is not None and iteration % checkpoint_every == 0:
+                # the checkpoint store returns its own (non-catalog) frame —
+                # the next iteration must build from the DataFrame, not the
+                # now-stale scratch table name
+                new_ranks = checkpoint.save(iteration, new_ranks, row)
+                state_table = None
+            ranks = new_ranks
 
-    # materialize the final state BEFORE closing the scratch (the frame is
-    # backed by the last scratch table); close() frees per-call state dirs +
-    # catalog tables instead of leaking them until process exit
-    result = materialize(ranks.select("id", "pagerank"))
-    scratch.close()
-    spark.catalog.dropTempView(wedges_view)
-    verts.unpersist()
-    wedges.unpersist()
+      # materialize the final state BEFORE closing the scratch (the frame is
+      # backed by the last scratch table); close() frees per-call state dirs
+      # + catalog tables instead of leaking them until process exit
+      result = materialize(ranks.select("id", "pagerank"))
+    finally:
+        scratch.close()
+        try:
+            spark.catalog.dropTempView(wedges_view)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+        verts.unpersist()
+        wedges.unpersist()
     return PageRankResult(result, error, iteration, n, m, history)
