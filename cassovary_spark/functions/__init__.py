@@ -9,10 +9,16 @@ from cassovary_spark.functions.text import (
     token_count,
     language_id,
     doc_fingerprint,
+    repetition_signals,
+    word_ngrams,
 )
 from cassovary_spark.functions.dedup import (
+    DedupIndex,
+    build_dedup_index,
+    cache_scope,
     dedup_clusters,
     exact_dedup,
+    incremental_dedup,
     release_caches,
     sample_by_hash,
     ngram_jaccard_pairs,
@@ -39,8 +45,14 @@ __all__ = [
     "token_count",
     "language_id",
     "doc_fingerprint",
+    "repetition_signals",
+    "word_ngrams",
+    "DedupIndex",
+    "build_dedup_index",
+    "cache_scope",
     "exact_dedup",
     "dedup_clusters",
+    "incremental_dedup",
     "release_caches",
     "sample_by_hash",
     "ngram_jaccard_pairs",

@@ -19,34 +19,91 @@ An unpersisted frame degrades to recompute, never to wrong results.
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # persisted-intermediate registry: list of generations, each a list of
-# persisted DataFrames created by one top-level dedup call
+# persisted DataFrames created by one top-level dedup call. Guarded by
+# _cache_lock (ADVICE r3: concurrent driver threads could unpersist an
+# in-flight call's frame; a composed pipeline opening 3+ generations could
+# evict its own first persist before the final action ran).
 _cache_generations: list[list[DataFrame]] = []
+_cache_lock = threading.Lock()
+# depth of open cache_scope() contexts in this thread-group; while >0,
+# helper calls join the scope's generation instead of opening new ones
+_scope_depth = 0
+_scope_gen: list[DataFrame] | None = None
 
 
 def _new_generation() -> list[DataFrame]:
     """Open a cache generation for one top-level call; frees generations
     more than 2 calls old (ADVICE r2: repeated dedup calls accumulated
-    cached blocks for the session's lifetime)."""
-    gen: list[DataFrame] = []
-    _cache_generations.append(gen)
-    while len(_cache_generations) > 2:
-        for df in _cache_generations.pop(0):
-            try:
-                df.unpersist(False)
-            except Exception:  # noqa: BLE001 — session may already be gone
-                pass
+    cached blocks for the session's lifetime). Inside an open
+    ``cache_scope()``, returns the scope's single generation so a composed
+    pipeline cannot evict its own earlier persists (ADVICE r3)."""
+    to_free: list[DataFrame] = []
+    with _cache_lock:
+        if _scope_depth > 0 and _scope_gen is not None:
+            return _scope_gen
+        gen: list[DataFrame] = []
+        _cache_generations.append(gen)
+        while len(_cache_generations) > 2:
+            to_free.extend(_cache_generations.pop(0))
+    for df in to_free:
+        try:
+            df.unpersist(False)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
     return gen
+
+
+@contextlib.contextmanager
+def cache_scope():
+    """Hold one cache generation open across a composed pipeline.
+
+    Every dedup/ANN helper that persists an intermediate inside this
+    context appends to ONE shared generation, freed only when a later
+    top-level call (or ``release_caches``) retires it — so "LSH candidates
+    -> ngram verify -> simhash" keeps all its persists live for the whole
+    pipeline. Re-entrant; thread-safe with respect to the registry."""
+    global _scope_depth, _scope_gen
+    with _cache_lock:
+        if _scope_depth == 0:
+            _scope_gen = []
+            _cache_generations.append(_scope_gen)
+            while len(_cache_generations) > 2:
+                for df in _cache_generations.pop(0):
+                    try:
+                        df.unpersist(False)
+                    except Exception:  # noqa: BLE001
+                        pass
+        _scope_depth += 1
+    try:
+        yield
+    finally:
+        with _cache_lock:
+            _scope_depth -= 1
+            if _scope_depth == 0:
+                _scope_gen = None
 
 
 def release_caches() -> int:
     """Unpersist every intermediate cached by dedup calls; returns count."""
     n = 0
-    while _cache_generations:
-        for df in _cache_generations.pop(0):
+    with _cache_lock:
+        gens, _cache_generations[:] = list(_cache_generations), []
+        if _scope_depth > 0 and _scope_gen is not None and _scope_gen in gens:
+            # an open cache_scope keeps its (now-emptied) generation live
+            gens.remove(_scope_gen)
+            for df in _scope_gen:
+                gens.append([df])
+            _scope_gen.clear()
+            _cache_generations.append(_scope_gen)
+    for gen in gens:
+        for df in gen:
             try:
                 df.unpersist(False)
                 n += 1
@@ -533,3 +590,180 @@ def sample_by_hash(
         / F.lit(float(16**13))
     )
     return df.filter(u < F.lit(float(rate)))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new-shard-vs-corpus-index (the daily 100 TB operation)
+# ---------------------------------------------------------------------------
+
+
+class DedupIndex:
+    """Persisted dedup state of an already-scored corpus: an exact
+    fingerprint table ``(fp_md5, rep_id)`` (one row per distinct normalized
+    text, ``rep_id`` the min doc_id bearing it) and a MinHash-LSH bucket
+    table ``(doc_id, band, bucket)`` — everything a later batch needs to
+    dedup AGAINST this corpus without rescoring it.
+
+    At scale both frames live as parquet/Iceberg tables (``save``/``load``);
+    the daily job loads the index, probes the (small) new shard against it,
+    and appends the kept shard's rows (``extend``) — the corpus itself is
+    never re-shingled."""
+
+    def __init__(
+        self,
+        fingerprints: DataFrame,
+        buckets: DataFrame,
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_n: int = 3,
+    ):
+        self.fingerprints = fingerprints
+        self.buckets = buckets
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+
+    def save(self, path: str) -> None:
+        """Write both tables + config under ``path`` (parquet; swap for
+        Iceberg `writeTo` when a catalog is configured)."""
+        import json
+        import os
+
+        self.fingerprints.write.mode("overwrite").parquet(f"{path}/fingerprints")
+        self.buckets.write.mode("overwrite").parquet(f"{path}/buckets")
+        os.makedirs(path, exist_ok=True)
+        with open(f"{path}/index.json", "w") as f:
+            json.dump(
+                {
+                    "num_hashes": self.num_hashes,
+                    "bands": self.bands,
+                    "shingle_n": self.shingle_n,
+                },
+                f,
+            )
+
+    @staticmethod
+    def load(spark, path: str) -> "DedupIndex":
+        import json
+
+        with open(f"{path}/index.json") as f:
+            conf = json.load(f)
+        return DedupIndex(
+            spark.read.parquet(f"{path}/fingerprints"),
+            spark.read.parquet(f"{path}/buckets"),
+            **conf,
+        )
+
+    def extend(
+        self, new_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> "DedupIndex":
+        """Index including ``new_docs`` (typically the kept rows of the last
+        batch): only the new docs are shingled; fingerprints re-min so
+        rep_id stays the global min doc per text."""
+        add = build_dedup_index(
+            new_docs, self.num_hashes, self.bands, self.shingle_n, id_col, text_col
+        )
+        fps = (
+            self.fingerprints.unionByName(add.fingerprints)
+            .groupBy("fp_md5")
+            .agg(F.min("rep_id").alias("rep_id"))
+        )
+        return DedupIndex(
+            fps,
+            self.buckets.unionByName(add.buckets),
+            self.num_hashes,
+            self.bands,
+            self.shingle_n,
+        )
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DedupIndex:
+    """Score a corpus once into a :class:`DedupIndex` (exact fingerprints +
+    LSH buckets). One pass over the text: a hash-aggregate for the
+    fingerprints and the no-shuffle signature projection for the buckets."""
+    fps = (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(_norm(text_col)).alias("fp_md5"))
+        .groupBy("fp_md5")
+        .agg(F.min("doc_id").alias("rep_id"))
+    )
+    sig = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col)
+    return DedupIndex(
+        fps, minhash_lsh_buckets(sig, bands), num_hashes, bands, shingle_n
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    index: DedupIndex,
+    max_bucket_size: int | None = None,
+    broadcast_batch: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a new ``batch`` against an existing corpus ``index`` WITHOUT
+    rescoring the corpus. One row per batch doc:
+
+    - ``exact_dup_of``: corpus rep_id whose normalized text is identical
+      (null when none) — an anti-joinable exact verdict.
+    - ``near_dup_count``: distinct corpus docs sharing >=1 LSH bucket —
+      candidates for ngram_jaccard verification, 0 = provably no collision.
+    - ``keep``: convenience flag — no exact dup and no near candidate.
+
+    Physical strategy (batch << corpus, the daily-shard case): with
+    ``broadcast_batch`` (default) the batch's fingerprints and buckets are
+    BROADCAST to the index scan, so the 100 TB index tables are read once,
+    filtered in place, and never shuffled — the only shuffled rows are the
+    (rare) collisions. Set ``broadcast_batch=False`` when the batch is
+    itself huge; the joins then fall back to AQE-planned shuffles.
+
+    ``max_bucket_size`` drops hot INDEX buckets (template scaffolds) before
+    probing, same rationale as minhash_lsh_candidates."""
+    bfp = batch.select(
+        F.col(id_col).alias("b_id"), F.md5(_norm(text_col)).alias("fp_md5")
+    )
+    bsig = minhash_signatures(batch, index.num_hashes, index.shingle_n, id_col, text_col)
+    bbk = minhash_lsh_buckets(bsig, index.bands).withColumnRenamed("doc_id", "b_id")
+
+    ibk = index.buckets
+    if max_bucket_size is not None:
+        small = (
+            ibk.groupBy("band", "bucket")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        ibk = ibk.join(small, ["band", "bucket"])
+
+    bfp_j = F.broadcast(bfp) if broadcast_batch else bfp
+    bbk_j = F.broadcast(bbk) if broadcast_batch else bbk
+
+    exact = index.fingerprints.join(bfp_j, "fp_md5").select(
+        "b_id", F.col("rep_id").alias("exact_dup_of")
+    )
+    near = (
+        ibk.join(bbk_j, ["band", "bucket"])
+        .select("b_id", F.col("doc_id").alias("i_id"))
+        .distinct()
+        .groupBy("b_id")
+        .agg(F.count("*").alias("near_dup_count"))
+    )
+    return (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(exact.withColumnRenamed("b_id", "doc_id"), "doc_id", "left")
+        .join(near.withColumnRenamed("b_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup_of",
+            F.coalesce("near_dup_count", F.lit(0)).alias("near_dup_count"),
+            (
+                F.col("exact_dup_of").isNull() & F.coalesce(F.col("near_dup_count") == 0, F.lit(True))
+            ).alias("keep"),
+        )
+    )

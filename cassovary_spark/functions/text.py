@@ -128,3 +128,122 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.xxhash64(norm).alias("fp64"),
         F.md5(norm).alias("fp_md5"),
     )
+
+
+def _sum_lengths(arr: Column) -> Column:
+    """Total characters across an array<string> (JVM-side fold)."""
+    return F.aggregate(arr, F.lit(0), lambda acc, x: acc + F.length(x))
+
+
+def word_ngrams(tok_col: Column, n: int) -> Column:
+    """Space-joined sliding word n-grams over a token array (empty array for
+    docs with fewer than n tokens — sequence(0, negative) would DESCEND)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tok_col) - n),
+        lambda i: F.array_join(F.slice(tok_col, i + 1, n), " "),
+    )
+    return F.when(F.size(tok_col) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals, one row per document:
+
+    - ``rep_dup_line_frac``: fraction of lines that are repeats of an
+      earlier line — (n_lines - n_distinct_lines) / n_lines. Lines are
+      trimmed non-empty segments split on ``\\n+``.
+    - ``rep_dup_line_char_frac``: fraction of line characters inside repeat
+      occurrences — (chars(lines) - chars(distinct lines)) / chars(lines).
+    - ``rep_dup_para_frac`` / ``rep_dup_para_char_frac``: the same over
+      paragraphs (split on ``\\n{2,}``).
+    - ``rep_top2gram_char_frac`` / ``rep_top3gram_char_frac``: characters
+      covered by the most frequent word 2-/3-gram — count * length(gram) /
+      length(text). Overlapping occurrences may push this above 1 for
+      pathological inputs (documented, matches the simple Gopher estimate).
+      Ties break to the lexicographically smallest gram.
+
+    Physical strategy (100 TB corpus): the line/paragraph fractions are
+    pure per-row array expressions — no shuffle, whole-stage codegen, the
+    doc never leaves its scan partition. The top-n-gram mode is the one
+    part that genuinely needs an aggregation (per-row HOF counting would be
+    O(distinct x grams) per doc — quadratic for long docs), so it runs as
+    explode -> partial-agg groupBy(doc, gram) -> per-doc min(struct) with
+    map-side combine, then joins back per-doc (same cardinality as the
+    input; sort-merge at scale, AQE-broadcast when small). Arrays are
+    materialized as projections before reuse — HOF lambdas get no
+    subexpression elimination (see char_shingles)."""
+    c = F.col(text_col)
+    toks = _tokens(c)
+
+    def segs(pattern: str) -> Column:
+        return F.filter(
+            F.transform(F.split(c, pattern), lambda s: F.trim(s)),
+            lambda s: s != "",
+        )
+
+    arred = docs.select(
+        "*",
+        segs(r"\n+").alias("__lines"),
+        segs(r"\n{2,}").alias("__paras"),
+        toks.alias("__toks"),
+    )
+    arred = arred.select(
+        "*",
+        F.array_distinct("__lines").alias("__dlines"),
+        F.array_distinct("__paras").alias("__dparas"),
+    )
+
+    def dup_fracs(col: str, dcol: str, prefix: str) -> list[Column]:
+        n, nd = F.size(col), F.size(dcol)
+        ch, dch = _sum_lengths(F.col(col)), _sum_lengths(F.col(dcol))
+        return [
+            F.when(n > 0, (n - nd) / n).otherwise(0.0).alias(f"rep_dup_{prefix}_frac"),
+            F.when(ch > 0, (ch - dch) / ch)
+            .otherwise(0.0)
+            .alias(f"rep_dup_{prefix}_char_frac"),
+        ]
+
+    base = arred.select(
+        "*",
+        *dup_fracs("__lines", "__dlines", "line"),
+        *dup_fracs("__paras", "__dparas", "para"),
+    ).drop("__lines", "__paras", "__dlines", "__dparas")
+
+    def top_gram(n: int) -> DataFrame:
+        grams = base.select(
+            F.col(id_col), F.explode(word_ngrams(F.col("__toks"), n)).alias("gram")
+        )
+        cnts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+        # min(struct(-cnt, gram)): highest count, ties to the lex-smallest
+        # gram — a single deterministic agg, no window sort
+        return (
+            cnts.groupBy(id_col)
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("negc"), F.col("gram").alias("g"))
+                ).alias("t")
+            )
+            .select(
+                F.col(id_col),
+                (-F.col("t.negc")).alias(f"__top{n}_cnt"),
+                F.length("t.g").alias(f"__top{n}_len"),
+            )
+        )
+
+    out = (
+        base.join(top_gram(2), id_col, "left")
+        .join(top_gram(3), id_col, "left")
+        .drop("__toks")
+    )
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    for n in (2, 3):
+        out = out.withColumn(
+            f"rep_top{n}gram_char_frac",
+            F.coalesce(
+                F.col(f"__top{n}_cnt") * F.col(f"__top{n}_len") / n_chars, F.lit(0.0)
+            ),
+        ).drop(f"__top{n}_cnt", f"__top{n}_len")
+    return out
