@@ -1018,27 +1018,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_doc_pipeline(spark, sf):
         """Composed training-data pipeline over documents: exact dedup
-        (canonical min-id reps) -> quality + language scoring of ONLY the
-        kept docs -> filter (quality >= 0.75 and lang 'en') -> deterministic
-        key-consistent hash-sample at 50%. Dedup runs FIRST so the expensive
-        scoring touches the reduced corpus — the stage order that matters at
-        100 TB."""
+        (canonical min-id reps) -> quality + language + repetition scoring
+        of ONLY the kept docs -> filter (quality >= 0.75, lang 'en',
+        top-2-gram mass <= 0.12) -> deterministic key-consistent
+        hash-sample at 50%. Dedup runs FIRST so the expensive scoring
+        touches the reduced corpus — the stage order that matters at
+        100 TB. The repetition filter compares the UNROUNDED double: an
+        exact-int ratio, bit-identical across engines."""
         from cassovary_spark.functions import (
             exact_dedup,
             language_id,
             quality_score,
+            repetition_signals,
             sample_by_hash,
         )
 
         d = docs(spark, sf)
         reps = exact_dedup(d).select("doc_id")
-        kept = d.join(reps, "doc_id")
+        kept = repetition_signals(d.join(reps, "doc_id"), grams=(2,))
         scored = language_id(quality_score(kept))
         filtered = scored.filter(
-            (F.col("quality") >= 0.75) & (F.col("lang_id") == "en")
+            (F.col("quality") >= 0.75)
+            & (F.col("lang_id") == "en")
+            & (F.col("rep_top2gram_char_frac") <= 0.12)
         )
         return sample_by_hash(filtered, 0.5, key_col="doc_id").select(
             "doc_id", F.round("quality", 6).alias("quality"), "lang_id"
+        )
+
+    def q_doc_repetition(spark, sf):
+        """Gopher/C4 repetition signals. The synthetic documents are
+        single-line, so both sides first rewrap the text identically
+        ('table' -> blank line, 'value' -> newline — plain literal
+        regexp_replace, same left-to-right non-overlapping semantics in
+        Spark and DuckDB) so the line/paragraph duplicate fractions are
+        actually exercised, not trivially zero."""
+        from cassovary_spark.functions import repetition_signals
+
+        d = docs(spark, sf).withColumn(
+            "text",
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "table", "\n\n"), "value", "\n"
+            ),
+        )
+        r = repetition_signals(d)
+        return r.select(
+            "doc_id",
+            F.round("rep_dup_line_frac", 6).alias("dup_line_frac"),
+            F.round("rep_dup_line_char_frac", 6).alias("dup_line_char_frac"),
+            F.round("rep_dup_para_frac", 6).alias("dup_para_frac"),
+            F.round("rep_dup_para_char_frac", 6).alias("dup_para_char_frac"),
+            F.round("rep_top2gram_char_frac", 6).alias("top2gram_char_frac"),
+            F.round("rep_top3gram_char_frac", 6).alias("top3gram_char_frac"),
+        )
+
+    def q_doc_incremental_dedup(spark, sf):
+        """Daily-shard dedup: docs < 400 are the already-indexed corpus,
+        docs >= 400 the incoming batch. The batch is probed against the
+        corpus index (exact fingerprint + LSH buckets) WITHOUT rescoring
+        the corpus — the corpus tables are read once and never shuffled
+        (batch side broadcast). Ten corpus docs are replayed into the
+        batch under new ids (+1000) so the exact-fingerprint probe is
+        certified on genuine hits, not a vacuous all-null column."""
+        from cassovary_spark.functions import build_dedup_index, incremental_dedup
+
+        d = docs(spark, sf).select("doc_id", "text")
+        idx = build_dedup_index(
+            d.filter(F.col("doc_id") < 400), num_hashes=16, bands=4, shingle_n=3
+        )
+        batch = d.filter(F.col("doc_id") >= 400).unionByName(
+            d.filter(F.col("doc_id") < 10).withColumn(
+                "doc_id", F.col("doc_id") + 1000
+            )
+        )
+        out = incremental_dedup(batch, idx)
+        return out.select(
+            "doc_id",
+            "exact_dup_of",
+            "near_dup_count",
+            F.col("keep").cast("int").alias("keep"),
+        )
+
+    def q_emb_cosine_lsh(spark, sf):
+        """cosine_top_k's DEFAULT path (queries=None -> LSH-bucketed
+        candidates): certifies the scale-default routing end-to-end, not
+        just lsh_bucketed_ann standalone. Planes shared with the SQL
+        oracle via ANN_DIM (see q_emb_lsh_ann)."""
+        e = emb(spark, sf)
+        dim = len(e.select("embedding").first()[0])
+        if dim != ANN_DIM:
+            raise ValueError(
+                f"embeddings dim {dim} != ANN_DIM {ANN_DIM}; regenerate the "
+                "oracle via _lsh_ann_sql(dim=...) alongside"
+            )
+        return cosine_top_k(e, queries=None, k=3, dim=ANN_DIM).select(
+            "q", "v", F.round("score", 6).alias("score"), "rn"
         )
 
     return {
@@ -1089,6 +1163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_sample_hash": q_doc_sample_hash,
         "doc_pipeline": q_doc_pipeline,
+        "doc_repetition": q_doc_repetition,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
+        "emb_cosine_lsh_top3": q_emb_cosine_lsh,
     }
 
 
@@ -1476,9 +1553,26 @@ t AS (
   SELECT doc_id, text,
          len({_DOC_TOKENS}) AS n_tok,
          greatest(length(text), 1) AS n_chars,
-         list_transform({_DOC_TOKENS}, x -> lower(x)) AS toks
+         list_transform({_DOC_TOKENS}, x -> lower(x)) AS toks,
+         {_DOC_TOKENS} AS rtoks
   FROM documents
   WHERE doc_id IN (SELECT doc_id FROM reps)
+),
+rg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(rtoks)),
+      i -> array_to_string(list_slice(rtoks, i::INT, i::INT + 1), ' '))) AS gram
+  FROM t WHERE len(rtoks) >= 2
+),
+rc AS (SELECT doc_id, gram, count(*) AS cnt FROM rg GROUP BY 1, 2),
+rt AS (SELECT doc_id, cnt, gram FROM (
+    SELECT doc_id, cnt, gram,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+    FROM rc) WHERE rn = 1),
+rep AS (
+  SELECT t.doc_id,
+         COALESCE(rt.cnt * length(rt.gram), 0)::DOUBLE
+           / greatest(length(t.text), 1) AS rep2
+  FROM t LEFT JOIN rt ON rt.doc_id = t.doc_id
 ),
 f AS (
   SELECT doc_id, n_tok, n_chars,
@@ -1511,6 +1605,7 @@ s AS (
 SELECT doc_id, ROUND(quality, 6) AS quality, lang_id
 FROM s
 WHERE quality >= 0.75 AND lang_id = 'en'
+  AND doc_id IN (SELECT doc_id FROM rep WHERE rep2 <= 0.12)
   AND ('0x' || substring(md5(doc_id::VARCHAR || '|42'), 1, 13))::BIGINT
       / 4503599627370496.0 < 0.5""",
         "tr_densify": """
@@ -1532,4 +1627,107 @@ SELECT CAST(conv_ord * 65536 + turn_idx AS BIGINT) AS src,
        CAST(conv_ord * 65536 + turn_idx + 1 AS BIGINT) AS dst
 FROM turns WHERE turn_idx < n_turns - 1"""
         ),
+        # deterministic rewrap ('table'->blank line, 'value'->newline) so the
+        # single-line synthetic docs exercise line/paragraph splitting; see
+        # q_doc_repetition for the matched Spark side
+        "doc_repetition": f"""
+WITH d0 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, 'table', chr(10) || chr(10), 'g'),
+                        'value', chr(10), 'g') AS text
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split_regex(text, '\\n+'), s -> trim(s)),
+                s -> s <> '') AS lines,
+    list_filter(list_transform(string_split_regex(text, '\\n{{2,}}'), s -> trim(s)),
+                s -> s <> '') AS paras,
+    {_DOC_TOKENS} AS toks
+  FROM d0
+),
+base AS (
+  SELECT doc_id, text, toks,
+    len(lines) AS nl, len(list_distinct(lines)) AS ndl,
+    coalesce(list_sum(list_transform(lines, s -> length(s))), 0) AS cl,
+    coalesce(list_sum(list_transform(list_distinct(lines), s -> length(s))), 0) AS dcl,
+    len(paras) AS np, len(list_distinct(paras)) AS ndp,
+    coalesce(list_sum(list_transform(paras, s -> length(s))), 0) AS cp,
+    coalesce(list_sum(list_transform(list_distinct(paras), s -> length(s))), 0) AS dcp
+  FROM seg
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      i -> array_to_string(list_slice(toks, i::INT, i::INT + 1), ' '))) AS gram
+  FROM base WHERE len(toks) >= 2
+),
+c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, cnt, gram FROM (
+    SELECT doc_id, cnt, gram,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+    FROM c2) WHERE rn = 1),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      i -> array_to_string(list_slice(toks, i::INT, i::INT + 2), ' '))) AS gram
+  FROM base WHERE len(toks) >= 3
+),
+c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+t3 AS (SELECT doc_id, cnt, gram FROM (
+    SELECT doc_id, cnt, gram,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+    FROM c3) WHERE rn = 1)
+SELECT b.doc_id,
+  ROUND(CASE WHEN nl > 0 THEN (nl - ndl)::DOUBLE / nl ELSE 0 END, 6) AS dup_line_frac,
+  ROUND(CASE WHEN cl > 0 THEN (cl - dcl)::DOUBLE / cl ELSE 0 END, 6) AS dup_line_char_frac,
+  ROUND(CASE WHEN np > 0 THEN (np - ndp)::DOUBLE / np ELSE 0 END, 6) AS dup_para_frac,
+  ROUND(CASE WHEN cp > 0 THEN (cp - dcp)::DOUBLE / cp ELSE 0 END, 6) AS dup_para_char_frac,
+  ROUND(COALESCE(t2.cnt * length(t2.gram), 0)::DOUBLE / greatest(length(b.text), 1), 6)
+    AS top2gram_char_frac,
+  ROUND(COALESCE(t3.cnt * length(t3.gram), 0)::DOUBLE / greatest(length(b.text), 1), 6)
+    AS top3gram_char_frac
+FROM base b LEFT JOIN t2 ON t2.doc_id = b.doc_id LEFT JOIN t3 ON t3.doc_id = b.doc_id""",
+        # corpus = doc_id < 400 (indexed once), batch = doc_id >= 400 probed
+        # against it; bucket CTE identical to doc_lsh_candidates, filtered by
+        # side at the join (bucketing is per-doc, so filter-after == build-on-
+        # subset). Matches functions/dedup.py incremental_dedup.
+        "doc_incremental_dedup": f"""
+{_SHINGLES_SQL},
+{minhash_ab},
+m AS (SELECT doc_id, {minhash_cols} FROM ab GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, 0 AS band, md5(h0::VARCHAR || '|' || h1::VARCHAR || '|' || h2::VARCHAR || '|' || h3::VARCHAR) AS bucket FROM m
+  UNION ALL
+  SELECT doc_id, 1, md5(h4::VARCHAR || '|' || h5::VARCHAR || '|' || h6::VARCHAR || '|' || h7::VARCHAR) FROM m
+  UNION ALL
+  SELECT doc_id, 2, md5(h8::VARCHAR || '|' || h9::VARCHAR || '|' || h10::VARCHAR || '|' || h11::VARCHAR) FROM m
+  UNION ALL
+  SELECT doc_id, 3, md5(h12::VARCHAR || '|' || h13::VARCHAR || '|' || h14::VARCHAR || '|' || h15::VARCHAR) FROM m
+),
+cfp AS (SELECT md5(t) AS fp_md5, min(doc_id) AS rep_id
+        FROM norm WHERE doc_id < 400 GROUP BY 1),
+bfp AS (SELECT doc_id, md5(t) AS fp_md5 FROM norm WHERE doc_id >= 400
+        UNION ALL
+        SELECT doc_id + 1000, md5(t) FROM norm WHERE doc_id < 10),
+bbk AS (SELECT doc_id, band, bucket FROM buckets WHERE doc_id >= 400
+        UNION ALL
+        SELECT doc_id + 1000, band, bucket FROM buckets WHERE doc_id < 10),
+ex AS (SELECT b.doc_id, c.rep_id AS exact_dup_of
+       FROM bfp b JOIN cfp c ON b.fp_md5 = c.fp_md5),
+nr AS (
+  SELECT b.doc_id, count(DISTINCT i.doc_id)::BIGINT AS near_dup_count
+  FROM bbk b JOIN buckets i ON b.band = i.band AND b.bucket = i.bucket
+  WHERE i.doc_id < 400
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, ex.exact_dup_of,
+       COALESCE(nr.near_dup_count, 0)::BIGINT AS near_dup_count,
+       (ex.exact_dup_of IS NULL AND COALESCE(nr.near_dup_count, 0) = 0)::INT AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 1000 FROM documents WHERE doc_id < 10) d
+LEFT JOIN ex ON ex.doc_id = d.doc_id
+LEFT JOIN nr ON nr.doc_id = d.doc_id""",
+        # same plane-shared oracle as emb_lsh_ann: certifies cosine_top_k's
+        # queries=None default routing into the LSH-bucketed plan
+        "emb_cosine_lsh_top3": _lsh_ann_sql(dim=ANN_DIM, k=3),
     }

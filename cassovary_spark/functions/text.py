@@ -148,7 +148,10 @@ def word_ngrams(tok_col: Column, n: int) -> Column:
 
 
 def repetition_signals(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    grams: tuple[int, ...] = (2, 3),
 ) -> DataFrame:
     """Gopher/C4-style repetition quality signals, one row per document:
 
@@ -174,7 +177,13 @@ def repetition_signals(
     map-side combine, then joins back per-doc (same cardinality as the
     input; sort-merge at scale, AQE-broadcast when small). Arrays are
     materialized as projections before reuse — HOF lambdas get no
-    subexpression elimination (see char_shingles)."""
+    subexpression elimination (see char_shingles).
+
+    ``grams`` selects which top-n-gram signals to compute (default 2- and
+    3-grams); pass ``grams=()`` to keep ONLY the shuffle-free per-row
+    line/paragraph fractions — the right configuration when the signal
+    feeds a filter stage of a larger pipeline and the gram joins aren't
+    needed."""
     c = F.col(text_col)
     toks = _tokens(c)
 
@@ -233,13 +242,12 @@ def repetition_signals(
             )
         )
 
-    out = (
-        base.join(top_gram(2), id_col, "left")
-        .join(top_gram(3), id_col, "left")
-        .drop("__toks")
-    )
+    out = base
+    for n in grams:
+        out = out.join(top_gram(n), id_col, "left")
+    out = out.drop("__toks")
     n_chars = F.greatest(F.length(c), F.lit(1))
-    for n in (2, 3):
+    for n in grams:
         out = out.withColumn(
             f"rep_top{n}gram_char_frac",
             F.coalesce(

@@ -36,9 +36,15 @@ def connected_components(
     checkpoint: CheckpointStore | None = None,
     resume: bool = False,
     engine: str = "auto",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Exact weakly-connected components; returns ``(id, component)`` where
-    ``component`` is the min vertex id in the component."""
+    ``component`` is the min vertex id in the component.
+
+    ``stats``: optional caller-supplied dict the DISTRIBUTED engine fills
+    with ``iterations`` and per-superstep ``superstep_walls`` (seconds) —
+    the scaling harness's instrumentation (scripts/scaling_run.py); the
+    numpy twin records ``iterations`` only."""
     spark = edges.sparkSession
     from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions, superstep_conf
 
@@ -57,6 +63,8 @@ def connected_components(
         if len(ids) == 0:
             return spark.createDataFrame([], "id long, component long")
         comp = LE.connected_components_numpy(ids, si, di)
+        if stats is not None:
+            stats["iterations"] = 0  # union-find, not superstep-iterative
         return LE.result_df(spark, ids, {"component": comp}, "id long, component long")
 
     p = choose_partitions(spark, m0, num_partitions)
@@ -97,7 +105,10 @@ def connected_components(
     # (ADVICE r3)
     try:
       with superstep_conf(spark, p, m0):
+        import time as _time
+
         while max_iterations is None or iteration < max_iterations:
+            t_superstep = _time.time()
             if state_table is not None:
                 # NO WITH clause: Spark 4.1's CTE planning loses the persisted
                 # sorted view's ordering attributes when the CTE body contains
@@ -162,6 +173,11 @@ def connected_components(
             iteration += 1
 
             cur_sum = obs.get["s"]
+            if stats is not None:
+                stats.setdefault("superstep_walls", []).append(
+                    round(_time.time() - t_superstep, 3)
+                )
+                stats["iterations"] = iteration
             labels = new_labels
             if checkpoint is not None:
                 # the checkpoint store returns a non-catalog frame — the next

@@ -36,8 +36,14 @@ def label_propagation(
     checkpoint: CheckpointStore | None = None,
     resume: bool = False,
     engine: str = "auto",
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Deterministic synchronous LPA; returns ``(id, label)``."""
+    """Deterministic synchronous LPA; returns ``(id, label)``.
+
+    ``stats``: optional caller-supplied dict the DISTRIBUTED engine fills
+    with ``iterations`` and per-superstep ``superstep_walls`` (seconds) —
+    the scaling harness's instrumentation (scripts/scaling_run.py); the
+    numpy twin records ``iterations`` only."""
     spark = edges.sparkSession
     from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions, superstep_conf
 
@@ -56,6 +62,8 @@ def label_propagation(
         if len(ids) == 0:
             return spark.createDataFrame([], "id long, label long")
         lab = LE.label_propagation_numpy(ids, si, di, max_iterations)
+        if stats is not None:
+            stats["iterations"] = max_iterations
         return LE.result_df(spark, ids, {"label": lab}, "id long, label long")
 
     p = choose_partitions(spark, m0, num_partitions)
@@ -96,7 +104,10 @@ def label_propagation(
     # (ADVICE r3)
     try:
       with superstep_conf(spark, p, m0):
+        import time as _time
+
         while iteration < max_iterations:
+            t_superstep = _time.time()
             if state_table is not None:
                 # NO WITH clause (see components.py: Spark 4.1 CTE planning
                 # breaks on merge joins over the persisted sorted view)
@@ -153,6 +164,11 @@ def label_propagation(
             iteration += 1
 
             changed = obs.get["changed"]
+            if stats is not None:
+                stats.setdefault("superstep_walls", []).append(
+                    round(_time.time() - t_superstep, 3)
+                )
+                stats["iterations"] = iteration
             labels = new_labels
             if checkpoint is not None:
                 # the checkpoint store returns a non-catalog frame — the next

@@ -7,12 +7,21 @@ Parent mode: spawns itself once per parallelism level, computes pairwise
 N -> 4N scaling efficiency, writes BENCH/BASELINE.md.
 Child mode (SCALING_CHILD=cores): runs the fixed workload once, prints JSON.
 
-The workload is fixed-iteration PageRank (10 supersteps) over a
-deterministically synthesized transcript turn-graph — fixed work, so
-efficiency for a (lo, hi) pair = (T_lo / T_hi) / (hi / lo).
+The workload is a fixed-work superstep algorithm over a deterministically
+synthesized transcript turn-graph, so efficiency for a (lo, hi) pair =
+(T_lo / T_hi) / (hi / lo):
+- SCALING_ALGO=pagerank (default): 10 fixed supersteps
+- SCALING_ALGO=cc: weakly-connected components run to convergence
+  (deterministic — the same input converges in the same number of
+  pointer-jumped supersteps at every parallelism level)
+- SCALING_ALGO=lpa: label propagation, SCALING_ITERS supersteps (default 5)
 
 Env knobs: SCALING_CONVS (default 150000 ~ 16M edges),
-SCALING_LEVELS (comma list, default "2,8,32").
+SCALING_LEVELS (comma list, default "2,8,32"), SCALING_ALGO, SCALING_ITERS.
+
+Results always land in BENCH/scaling_<algo>.json; the md summary
+(BENCH/BASELINE.md) is regenerated only for the pagerank suite — CC/LPA
+results are folded into BASELINE.md by hand alongside it.
 """
 
 from __future__ import annotations
@@ -26,14 +35,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_CONVS = int(os.environ.get("SCALING_CONVS", "150000"))
-ITERS = 10
+ALGO = os.environ.get("SCALING_ALGO", "pagerank")
+ITERS = int(os.environ.get("SCALING_ITERS", "5")) if ALGO == "lpa" else 10
 LEVELS = tuple(
     int(x) for x in os.environ.get("SCALING_LEVELS", "2,8,32").split(",")
 )
 
 
 def child(cores: int) -> None:
-    from cassovary_spark.operators import pagerank
+    from cassovary_spark.operators import (
+        connected_components,
+        label_propagation,
+        pagerank,
+    )
     from cassovary_spark.session import get_spark
     from cassovary_spark.sources import synth_transcripts, turn_edges
 
@@ -54,44 +68,92 @@ def child(cores: int) -> None:
     edges = turn_edges(t).persist()
     m = edges.count()
 
+    from pyspark.sql import functions as F
+
     # Warmup: 2 untimed supersteps so JIT compilation, code cache, and the
     # allocator are steady before measurement (the reference benchmark
     # harness also measures after reps, OperationBenchmark.scala:24-30; on a
     # real cluster warmup amortizes over hundreds of supersteps). Measured:
     # without it the first cold superstep costs up to 6x the steady state
     # and distorts small-wall levels most.
-    pagerank(edges, max_iterations=2, num_partitions=parts, engine="distributed")
+    # num_partitions pinned everywhere: operators otherwise auto-size
+    # partitions from the edge count and core floor (plans.choose_partitions),
+    # which would vary the physical layout across levels — the methodology
+    # requires the IDENTICAL plan at every parallelism level. The scaling
+    # evidence is always the DISTRIBUTED path.
+    if ALGO == "pagerank":
+        pagerank(edges, max_iterations=2, num_partitions=parts, engine="distributed")
+        t0 = time.time()
+        res = pagerank(edges, max_iterations=ITERS, num_partitions=parts,
+                       engine="distributed")
+        res.ranks.count()
+        wall = time.time() - t0
+        iters = res.iterations
+        walls = [h.get("wall_sec") for h in res.history]
+        # per-vertex checksum so all levels can be asserted equal
+        chk = round(res.ranks.agg(F.sum(F.round("pagerank", 9))).first()[0], 6)
+        extra = {
+            "state_bucketed": all(
+                h.get("state_bucketed", True) for h in res.history
+            )
+        }
+    elif ALGO == "cc":
+        connected_components(
+            edges, max_iterations=2, num_partitions=parts, engine="distributed"
+        )
+        stats: dict = {}
+        t0 = time.time()
+        res = connected_components(
+            edges, num_partitions=parts, engine="distributed", stats=stats
+        )
+        res.count()
+        wall = time.time() - t0
+        iters = stats["iterations"]
+        walls = stats["superstep_walls"]
+        # exact-integer checksum (sum of min-id labels + component count):
+        # identical across levels iff the labeling is identical
+        agg = res.agg(
+            F.sum("component"), F.countDistinct("component"), F.count("*")
+        ).first()
+        chk = f"{agg[0]}/{agg[1]}/{agg[2]}"
+        extra = {}
+    elif ALGO == "lpa":
+        label_propagation(
+            edges, max_iterations=2, num_partitions=parts, engine="distributed"
+        )
+        stats = {}
+        t0 = time.time()
+        res = label_propagation(
+            edges, max_iterations=ITERS, num_partitions=parts,
+            engine="distributed", stats=stats,
+        )
+        res.count()
+        wall = time.time() - t0
+        iters = stats["iterations"]
+        walls = stats["superstep_walls"]
+        agg = res.agg(
+            F.sum("label"), F.countDistinct("label"), F.count("*")
+        ).first()
+        chk = f"{agg[0]}/{agg[1]}/{agg[2]}"
+        extra = {}
+    else:
+        raise SystemExit(f"unknown SCALING_ALGO {ALGO!r}")
 
-    t0 = time.time()
-    # num_partitions pinned: operators otherwise auto-size partitions from
-    # the edge count and core floor (plans.choose_partitions), which would
-    # vary the physical layout across levels — the methodology requires the
-    # IDENTICAL plan at every parallelism level
-    res = pagerank(edges, max_iterations=ITERS, num_partitions=parts,
-                   engine="distributed")  # the scaling evidence IS the distributed path
-    res.ranks.count()
-    wall = time.time() - t0
-    # per-vertex checksum so all levels can be asserted equal
-    from pyspark.sql import functions as F
-
-    chk = res.ranks.agg(F.sum(F.round("pagerank", 9))).first()[0]
-    walls = sorted(h.get("wall_sec") for h in res.history)
-    med = walls[len(walls) // 2]
+    med = sorted(walls)[len(walls) // 2]
     print(
         json.dumps(
             {
+                "algo": ALGO,
                 "cores": cores,
                 "edges": m,
-                "iterations": res.iterations,
+                "iterations": iters,
                 "wall_sec": round(wall, 3),
-                "edges_per_sec": int(m * ITERS / wall),
+                "edges_per_sec": int(m * iters / wall),
                 "median_superstep_sec": med,
                 "median_edges_per_sec": int(m / med),
-                "rank_checksum": round(chk, 6),
-                "superstep_walls": [h.get("wall_sec") for h in res.history],
-                "state_bucketed": all(
-                    h.get("state_bucketed", True) for h in res.history
-                ),
+                "rank_checksum": chk,
+                "superstep_walls": walls,
+                **extra,
             }
         )
     )
@@ -147,6 +209,46 @@ def parent() -> None:
             f"efficiency **{eff_med:.2f}**"
         )
     checks = {results[c]["rank_checksum"] for c in LEVELS}
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open(f"BENCH/scaling_{ALGO}.json", "w") as f:
+        json.dump(
+            {
+                "algo": ALGO,
+                "n_convs": N_CONVS,
+                "edges": edges,
+                "levels": list(LEVELS),
+                "results": results,
+                "pairs": [
+                    {
+                        "lo": lo,
+                        "hi": hi,
+                        "eff_total": round(
+                            results[lo]["wall_sec"]
+                            / results[hi]["wall_sec"]
+                            / (hi / lo),
+                            3,
+                        ),
+                        "eff_median_superstep": round(
+                            results[lo]["median_superstep_sec"]
+                            / results[hi]["median_superstep_sec"]
+                            / (hi / lo),
+                            3,
+                        ),
+                    }
+                    for lo, hi in pairs
+                ],
+                "checksums_equal": len(checks) == 1,
+            },
+            f,
+            indent=1,
+        )
+    print(f"-> BENCH/scaling_{ALGO}.json")
+    if ALGO != "pagerank":
+        for line in pair_lines:
+            print(line)
+        return
+
     md = f"""# BENCH/BASELINE.md — two-cluster-size scaling evidence
 
 North rule: throughput scaling efficiency >= 0.8 between cluster sizes N and

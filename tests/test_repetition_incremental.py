@@ -1,0 +1,181 @@
+"""Repetition signals (Gopher/C4-style), incremental corpus dedup, and the
+dedup cache-scope registry.
+
+Reference parity note: these extend the reference's corpus tooling rather
+than mirror a specific file — the dedup probe semantics follow the same
+index-once/probe-batch shape as the adjacency build (graph/GraphReader
+semantics: score once, reuse), and the signals are standard published
+filters (Rae et al. Gopher §A1.1, Raffel et al. C4 §2.2).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassovary_spark.functions import (
+    build_dedup_index,
+    cache_scope,
+    incremental_dedup,
+    release_caches,
+    repetition_signals,
+)
+from cassovary_spark.functions.dedup import DedupIndex, _cache_generations
+
+
+def _by_id(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def rep_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "a\na\nb"),  # 3 lines, one repeat
+            (1, "x y\n\nx y\n\nz"),  # 3 paragraphs, one repeat
+            (2, "w w w w"),  # maximal 2-/3-gram repetition
+            (3, ""),  # empty doc: all signals 0, no NaN/null
+            (4, "hello"),  # single token: no grams
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_repetition_signals_known_values(spark, rep_docs):
+    out = _by_id(repetition_signals(rep_docs))
+
+    # doc 0: lines [a, a, b] -> (3-2)/3 dup lines; chars 3 vs distinct 2
+    assert math.isclose(out[0]["rep_dup_line_frac"], 1 / 3)
+    assert math.isclose(out[0]["rep_dup_line_char_frac"], 1 / 3)
+    # \n singles never form a paragraph break: one paragraph, no repeats
+    assert out[0]["rep_dup_para_frac"] == 0.0
+
+    # doc 1: paragraphs [x y, x y, z] -> (3-2)/3; chars 7 vs distinct 4
+    assert math.isclose(out[1]["rep_dup_para_frac"], 1 / 3)
+    assert math.isclose(out[1]["rep_dup_para_char_frac"], 3 / 7)
+    # \n\n also splits lines ("\n+"), so the line view sees the same segs
+    assert math.isclose(out[1]["rep_dup_line_frac"], 1 / 3)
+
+    # doc 2 "w w w w": top 2-gram "w w" x3, len 3, text len 7 -> 9/7 (>1 is
+    # documented for overlapping grams); top 3-gram "w w w" x2, len 5 -> 10/7
+    assert math.isclose(out[2]["rep_top2gram_char_frac"], 9 / 7)
+    assert math.isclose(out[2]["rep_top3gram_char_frac"], 10 / 7)
+
+    # empty + single-token docs: all signals exactly 0, never null
+    for i in (3, 4):
+        for k, v in out[i].items():
+            if k.startswith("rep_"):
+                assert v == 0.0, (i, k, v)
+
+
+def test_repetition_grams_opt_out_is_shuffle_free(spark, rep_docs):
+    out = repetition_signals(rep_docs, grams=())
+    assert [c for c in out.columns if c.startswith("rep_")] == [
+        "rep_dup_line_frac",
+        "rep_dup_line_char_frac",
+        "rep_dup_para_frac",
+        "rep_dup_para_char_frac",
+    ]
+    # per-row only: no exchange/aggregate anywhere in the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Aggregate" not in plan
+
+
+@pytest.fixture(scope="module")
+def corpus_and_batch(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog in the meadow"),
+            (1, "sphinx of black quartz judge my vow said the editor twice"),
+            (2, "pack my box with five dozen liquor jugs before the dawn"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 0 (normalization collapses whitespace)
+            (10, "the  quick brown fox jumps over the lazy  dog in the meadow"),
+            # near-copy of corpus doc 1 (one word changed)
+            (11, "sphinx of black quartz judge my vow said the author twice"),
+            # disjoint shingles: provably no collision
+            (12, "0123 4567 89zz qq88 vv77 uu66 tt55 ss44 rr33"),
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, batch
+
+
+def test_incremental_dedup_verdicts(spark, corpus_and_batch):
+    corpus, batch = corpus_and_batch
+    idx = build_dedup_index(corpus)
+    out = _by_id(incremental_dedup(batch, idx))
+
+    assert out[10]["exact_dup_of"] == 0 and not out[10]["keep"]
+    # near-copy: not exact, but LSH (16 hashes / 4 bands, high Jaccard)
+    # collides deterministically with its source
+    assert out[11]["exact_dup_of"] is None
+    assert out[11]["near_dup_count"] >= 1 and not out[11]["keep"]
+    # disjoint text: provably zero candidates
+    assert out[12]["exact_dup_of"] is None
+    assert out[12]["near_dup_count"] == 0 and out[12]["keep"]
+
+
+def test_incremental_dedup_broadcast_off_equality(spark, corpus_and_batch):
+    corpus, batch = corpus_and_batch
+    idx = build_dedup_index(corpus)
+    on = sorted(map(tuple, incremental_dedup(batch, idx).collect()))
+    off = sorted(
+        map(tuple, incremental_dedup(batch, idx, broadcast_batch=False).collect())
+    )
+    assert on == off
+
+
+def test_dedup_index_save_load_extend(spark, corpus_and_batch, tmp_path):
+    corpus, batch = corpus_and_batch
+    idx = build_dedup_index(corpus)
+    path = str(tmp_path / "dedup_index")
+    idx.save(path)
+    loaded = DedupIndex.load(spark, path)
+    assert (loaded.num_hashes, loaded.bands, loaded.shingle_n) == (
+        idx.num_hashes,
+        idx.bands,
+        idx.shingle_n,
+    )
+    assert loaded.fingerprints.count() == idx.fingerprints.count()
+    assert loaded.buckets.count() == idx.buckets.count()
+
+    # daily update: extend with the kept batch rows, then a replay of the
+    # previously-novel doc must now be flagged as an exact dup of it
+    kept = batch.join(
+        incremental_dedup(batch, loaded).filter("keep").select("doc_id"), "doc_id"
+    )
+    idx2 = loaded.extend(kept)
+    replay = spark.createDataFrame(
+        [(99, "0123 4567 89zz qq88 vv77 uu66 tt55 ss44 rr33")],
+        "doc_id long, text string",
+    )
+    out = _by_id(incremental_dedup(replay, idx2))
+    assert out[99]["exact_dup_of"] == 12 and not out[99]["keep"]
+
+
+def test_extend_keeps_min_rep_id(spark):
+    # rep_id must stay the GLOBAL min doc over identical texts, even when
+    # the smaller id arrives in the extension batch
+    first = spark.createDataFrame([(5, "same text here")], "doc_id long, text string")
+    later = spark.createDataFrame([(3, "same text here")], "doc_id long, text string")
+    idx = build_dedup_index(first).extend(later)
+    reps = [r["rep_id"] for r in idx.fingerprints.collect()]
+    assert reps == [3]
+
+
+def test_cache_scope_holds_one_generation(spark, corpus_and_batch):
+    corpus, batch = corpus_and_batch
+    release_caches()
+    with cache_scope():
+        build_dedup_index(corpus)
+        incremental_dedup(batch, build_dedup_index(batch))
+        # every helper joined the scope's single generation
+        assert len(_cache_generations) == 1
+    assert release_caches() >= 0
