@@ -7,6 +7,12 @@ Reference methodology analog: avg wall time per workload
 (cassovary-benchmarks/.../OperationBenchmark.scala:24-30), with PageRank /
 PPR / HITS / centrality / traversal workloads (PerformanceBenchmark.scala).
 
+Each workload runs $SPARK_GRAFT_BENCH_REPS times back-to-back (default 3,
+matching the reference's repeated-measurement harness); per-query times and
+the total are the per-workload MEDIANS, with min/max/samples reported under
+"rep_spread" so run-to-run noise (hypervisor drift measured at ~10% between
+rounds) is visible instead of folded into the headline number.
+
 Extra keys beyond the contract: edges-per-second throughput for the
 convergence PageRank runs (the BASELINE.json north metric) and graph sizes.
 Scaling-efficiency evidence (local[8] vs local[32]) is produced by
@@ -191,9 +197,18 @@ def build_workloads(spark, sf_dir: str, sf: float):
         ).coalesce(4).write.parquet(f"{_stream_src}/b{i}")
     aux["stream_edges"] = {"turns": transcripts.count()}
 
+    import atexit
+    import itertools
+
+    atexit.register(shutil.rmtree, _stream_tmp, ignore_errors=True)
+    _stream_rep = itertools.count()
+
     def w_stream_edges():
         from cassovary_spark.streaming import stream_turn_edges
 
+        # fresh checkpoint dir per rep: availableNow against a reused
+        # checkpoint would no-op the second measurement
+        rep = next(_stream_rep)
         stream = (
             spark.readStream.schema(transcripts.schema)
             .option("maxFilesPerTrigger", 4)
@@ -202,12 +217,11 @@ def build_workloads(spark, sf_dir: str, sf: float):
         q = (
             stream_turn_edges(stream)
             .writeStream.format("noop")
-            .option("checkpointLocation", f"{_stream_tmp}/ckpt")
+            .option("checkpointLocation", f"{_stream_tmp}/ckpt{rep}")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
-        shutil.rmtree(_stream_tmp, ignore_errors=True)
 
     return [
         ("pagerank_turns_1e6", w_pagerank_turns),
@@ -242,12 +256,24 @@ def main() -> None:
         shuffle_partitions=cpus,
     )
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     workloads, aux = build_workloads(spark, sf_dir, sf)
     times: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for name, thunk in workloads:
-        t0 = time.time()
-        thunk()
-        times[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            thunk()
+            samples.append(round(time.time() - t0, 3))
+        ordered = sorted(samples)
+        times[name] = ordered[len(ordered) // 2]
+        if reps > 1:
+            spread[name] = {
+                "min": ordered[0],
+                "max": ordered[-1],
+                "samples": samples,
+            }
 
     total = round(sum(times.values()), 3)
     # north metric: edges/sec for PageRank to 1e-6 (edges x supersteps / sec)
@@ -263,9 +289,12 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "cpus": cpus,
+        "reps": reps,
         "pagerank_edges_per_sec": eps,
         "aux": aux,
     }
+    if spread:
+        out["rep_spread"] = spread
     print(json.dumps(out))
     spark.stop()
 

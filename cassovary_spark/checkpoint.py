@@ -179,6 +179,11 @@ class StateScratch:
         # of the other schema mid-query (observed FileNotFoundException).
         # insertInto binds by POSITION, so writes reorder columns by name.
         self._rotations: dict[tuple, list[str]] = {}
+        # generation tracking (ADVICE r2): slot name/path -> write index of
+        # its CURRENT contents. Every returned handle is tagged with the
+        # (scratch, slot, epoch) it reflects so is_live()/assert_live() can
+        # fail LOUDLY when a handle has been silently overwritten in place.
+        self._slot_epoch: dict[str, int] = {}
         # operators may return a DataFrame still backed by the last state file
         # (cheaper than re-materializing it); storage is reclaimed at exit
         atexit.register(shutil.rmtree, self.dir, ignore_errors=True)
@@ -222,7 +227,10 @@ class StateScratch:
         state are safe by construction; operators that retain MANY live state
         handles (bfs-style level lists) must size ``keep_last`` past the
         total number of writes, as bfs does (keep_last=1e9 ⇒ no rotation,
-        every write gets a fresh table).
+        every write gets a fresh table). Handles are generation-tagged:
+        ``StateScratch.is_live(df)`` reports whether a handle still
+        reflects its data and ``assert_live(df)`` raises on
+        reuse-after-rotation.
 
         State parquet is written UNCOMPRESSED: superstep state is
         (id, score)-shaped doubles — nearly incompressible — on a scratch
@@ -312,7 +320,9 @@ class StateScratch:
                     self.spark.catalog.refreshTable(name)
                     rotation.append(name)
                 self.last_table = name
+                self._slot_epoch[name] = self._i
                 out = self.spark.table(name)
+                out._cassovary_scratch = (self, name, self._i)
                 return (out, obs.get["n"]) if with_count else out
             except Exception as exc:  # noqa: BLE001 — no-catalog environments
                 # LOUD fallback: plain-parquet state costs ~2x per superstep
@@ -332,17 +342,51 @@ class StateScratch:
         pdf, obs = observed(df)
         pdf.write.mode("overwrite").option("compression", "none").parquet(path)
         self._paths.append(path)
+        self._slot_epoch[path] = self._i
         while len(self._paths) > self.keep_last:
             old = self._paths.pop(0)
+            self._slot_epoch.pop(old, None)
             import shutil
 
             shutil.rmtree(old, ignore_errors=True)
         self.last_table = None
         out = self.spark.read.parquet(path)
+        out._cassovary_scratch = (self, path, self._i)
         return (out, obs.get["n"]) if with_count else out
+
+    @staticmethod
+    def is_live(df) -> bool:
+        """Whether a roundtrip handle still reflects the data it returned.
+
+        False once its slot has been overwritten by rotation (bucketed mode
+        silently resolves to NEWER data; plain-parquet mode's files are
+        deleted, failing at action time anyway). Frames that never came from
+        a roundtrip have nothing to invalidate and report True."""
+        tag = getattr(df, "_cassovary_scratch", None)
+        if tag is None:
+            return True
+        scratch, slot, epoch = tag
+        return scratch._slot_epoch.get(slot) == epoch
+
+    @staticmethod
+    def assert_live(df) -> None:
+        """Loud-failure guard for retained roundtrip handles: raise instead
+        of letting a rotated slot silently serve newer state. Operators that
+        retain many live handles (bfs-style level lists) should either call
+        this before each reuse or size ``keep_last`` past the write count."""
+        if not StateScratch.is_live(df):
+            tag = df._cassovary_scratch
+            raise RuntimeError(
+                f"stale StateScratch handle: slot {tag[1]!r} was written at "
+                f"epoch {tag[0]._slot_epoch.get(tag[1])} but this handle "
+                f"reflects epoch {tag[2]}; retained handles survive only "
+                f"max(2, keep_last) - 1 roundtrips of their (schema, bucket) "
+                f"key — raise keep_last or re-materialize earlier"
+            )
 
     def close(self) -> None:
         import shutil
 
         self._drop_tables()
+        self._slot_epoch.clear()
         shutil.rmtree(self.dir, ignore_errors=True)

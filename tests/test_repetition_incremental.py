@@ -179,3 +179,38 @@ def test_cache_scope_holds_one_generation(spark, corpus_and_batch):
         # every helper joined the scope's single generation
         assert len(_cache_generations) == 1
     assert release_caches() >= 0
+
+
+def test_state_scratch_handle_generation_tracking(spark):
+    """Rotation reuse is LOUD now (r2 ADVICE): a handle older than the
+    rotation window reports is_live False and assert_live raises; handles
+    inside the window and non-scratch frames stay quiet."""
+    import pytest as _pytest
+
+    from cassovary_spark.checkpoint import StateScratch
+
+    scratch = StateScratch(spark, keep_last=2)
+    try:
+        df0 = scratch.roundtrip(
+            spark.range(5).select("id", (F.col("id") * 2).alias("v")),
+            bucket_by="id",
+            num_buckets=2,
+        )
+        assert StateScratch.is_live(df0)
+        # 2 slots warm up, the 3rd write overwrites df0's slot in place
+        scratch.roundtrip(
+            spark.range(5).select("id", (F.col("id") * 3).alias("v")),
+            bucket_by="id", num_buckets=2,
+        )
+        assert StateScratch.is_live(df0)
+        scratch.roundtrip(
+            spark.range(5).select("id", (F.col("id") * 4).alias("v")),
+            bucket_by="id", num_buckets=2,
+        )
+        assert not StateScratch.is_live(df0)
+        with _pytest.raises(RuntimeError, match="stale StateScratch handle"):
+            StateScratch.assert_live(df0)
+        # frames that never came from a roundtrip have nothing to invalidate
+        StateScratch.assert_live(spark.range(1))
+    finally:
+        scratch.close()
