@@ -618,6 +618,39 @@ sh AS (SELECT DISTINCT doc_id, substr(t, i::INT, 3) AS shingle FROM pos
 
 
 # ----------------------------------------------------------------- queries()
+def _pii_redact_sql() -> str:
+    """DuckDB twin of q_doc_pii_redact: identical injected contact block,
+    identical patterns (imported from functions/text.py PII_PATTERNS —
+    lookaround-free so Java regex and RE2 match the same spans), identical
+    email -> url -> phone replacement order."""
+    from cassovary_spark.functions.text import PII_PATTERNS
+
+    inject = (
+        "text || ' reach doc' || doc_id || '@mail.example.com or "
+        "https://docs.example.org/d/' || doc_id || ' tel +1-555-01' || "
+        "lpad(doc_id::VARCHAR, 4, '0')"
+    )
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::INT AS pii_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    total = " + ".join(f"pii_{n}" for n in PII_PATTERNS)
+    return f"""
+WITH d0 AS (SELECT doc_id, {inject} AS text FROM documents),
+p AS (
+  SELECT doc_id, text,
+  {counts},
+  {red} AS red
+  FROM d0
+)
+SELECT doc_id, pii_email, pii_url, pii_phone,
+       ({total})::INT AS pii_total, md5(red) AS redacted_md5
+FROM p"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 customer-supplier graph, top-25
     vertices by rank with node role decoded."""
@@ -1099,6 +1132,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("keep").cast("int").alias("keep"),
         )
 
+    def q_doc_pii_redact(spark, sf):
+        """PII scrub stage: counts + typed-placeholder redaction. The
+        synthetic docs carry no PII, so both sides first append the SAME
+        deterministic contact block (email, url, phone derived from
+        doc_id) — the counts and the redacted-text md5 then certify the
+        patterns on genuine hits."""
+        from cassovary_spark.functions import pii_signals, redact_pii
+
+        d = docs(spark, sf).withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" reach doc"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or https://docs.example.org/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" tel +1-555-01"),
+                F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            ),
+        )
+        out = redact_pii(pii_signals(d))
+        return out.select(
+            "doc_id",
+            "pii_email",
+            "pii_url",
+            "pii_phone",
+            "pii_total",
+            F.md5("text_redacted").alias("redacted_md5"),
+        )
+
     def q_emb_cosine_lsh(spark, sf):
         """cosine_top_k's DEFAULT path (queries=None -> LSH-bucketed
         candidates): certifies the scale-default routing end-to-end, not
@@ -1166,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "emb_cosine_lsh_top3": q_emb_cosine_lsh,
+        "doc_pii_redact": q_doc_pii_redact,
     }
 
 
@@ -1730,4 +1794,8 @@ LEFT JOIN nr ON nr.doc_id = d.doc_id""",
         # same plane-shared oracle as emb_lsh_ann: certifies cosine_top_k's
         # queries=None default routing into the LSH-bucketed plan
         "emb_cosine_lsh_top3": _lsh_ann_sql(dim=ANN_DIM, k=3),
+        # patterns imported from the SAME dict the Spark plan uses
+        # (functions/text.py PII_PATTERNS); replacement order fixed
+        # email -> url -> phone on both sides
+        "doc_pii_redact": _pii_redact_sql(),
     }

@@ -11,6 +11,8 @@ from cassovary_spark.functions.text import (
     doc_fingerprint,
     repetition_signals,
     word_ngrams,
+    pii_signals,
+    redact_pii,
 )
 from cassovary_spark.functions.dedup import (
     DedupIndex,
@@ -47,6 +49,8 @@ __all__ = [
     "doc_fingerprint",
     "repetition_signals",
     "word_ngrams",
+    "pii_signals",
+    "redact_pii",
     "DedupIndex",
     "build_dedup_index",
     "cache_scope",

@@ -255,3 +255,46 @@ def repetition_signals(
             ),
         ).drop(f"__top{n}_cnt", f"__top{n}_len")
     return out
+
+
+# PII patterns shared by pii_signals/redact_pii AND the SQL oracle generator
+# (__spark_entry__.py doc_pii_redact). Deliberately lookaround-free and
+# anchored only by character classes so Java regex (Spark) and RE2 (DuckDB)
+# match identically; the e-mail/url shapes are the conservative forms used
+# by C4-style scrub passes.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[A-Za-z0-9./_%\-?=&#:]+",
+    "phone": r"\+[0-9][0-9\-]{7,14}[0-9]",
+}
+
+
+def pii_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts (``pii_email`` / ``pii_url`` /
+    ``pii_phone`` + ``pii_total``): the filter signal a scrub stage keys on.
+
+    Pure per-row ``regexp_count`` expressions — whole-stage codegen, no
+    shuffle, the doc never leaves its scan partition (same 100 TB posture
+    as text_stats)."""
+    c = F.col(text_col)
+    out = docs
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"pii_{name}", F.regexp_count(c, F.lit(pat)))
+    return out.withColumn(
+        "pii_total",
+        sum(F.col(f"pii_{n}") for n in PII_PATTERNS),
+    )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace each PII match with a typed placeholder (``<EMAIL>``,
+    ``<URL>``, ``<PHONE>``) in ``<text_col>_redacted``.
+
+    Order matters and is fixed: e-mails before URLs before phones, so an
+    address inside a URL query string is consumed by the earlier, more
+    specific pattern exactly once — the SQL oracle applies the identical
+    sequence. Pure regexp_replace chain: codegen'd, shuffle-free."""
+    c = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"<{name.upper()}>")
+    return docs.withColumn(f"{text_col}_redacted", c)

@@ -214,3 +214,25 @@ def test_state_scratch_handle_generation_tracking(spark):
         StateScratch.assert_live(spark.range(1))
     finally:
         scratch.close()
+
+
+def test_pii_signals_and_redaction(spark):
+    """Hand-checked PII counts and placeholder redaction; email is consumed
+    before the url pattern can see it, phones need the +prefix form."""
+    from cassovary_spark.functions import pii_signals, redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "write a@b.io or c.d+tag@ex.org, see https://ex.org/x?q=1"),
+            (1, "call +1-555-0100 now"),
+            (2, "no pii here, 12345 is just a number"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in redact_pii(pii_signals(docs)).collect()}
+    assert (out[0]["pii_email"], out[0]["pii_url"], out[0]["pii_phone"]) == (2, 1, 0)
+    assert out[0]["pii_total"] == 3
+    assert out[0]["text_redacted"] == "write <EMAIL> or <EMAIL>, see <URL>"
+    assert out[1]["pii_phone"] == 1
+    assert out[1]["text_redacted"] == "call <PHONE> now"
+    assert out[2]["pii_total"] == 0 and out[2]["text_redacted"] == out[2]["text"]
