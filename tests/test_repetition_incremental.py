@@ -236,3 +236,12 @@ def test_pii_signals_and_redaction(spark):
     assert out[1]["pii_phone"] == 1
     assert out[1]["text_redacted"] == "call <PHONE> now"
     assert out[2]["pii_total"] == 0 and out[2]["text_redacted"] == out[2]["text"]
+
+
+def test_repetition_signals_null_text_is_zero(spark):
+    docs = spark.createDataFrame([(0, None), (1, "a b")], "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
+    for k, v in out[0].items():
+        if k.startswith("rep_"):
+            assert v == 0.0, (k, v)
+    assert out[1]["rep_top2gram_char_frac"] > 0
