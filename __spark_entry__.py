@@ -1162,6 +1162,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5("text_redacted").alias("redacted_md5"),
         )
 
+    def q_doc_cap_per_key(spark, sf):
+        """Per-key quota sampling (per-domain caps): a synthetic source key
+        (doc_id % 7) stands in for a crawl domain; at most 30 docs survive
+        per key, chosen by the deterministic md5(id|seed) ranking the SQL
+        oracle replays."""
+        from cassovary_spark.functions import cap_per_key
+
+        d = docs(spark, sf).withColumn(
+            "src_key", (F.col("doc_id") % 7).cast("string")
+        )
+        return cap_per_key(d, "src_key", 30).select("doc_id", "src_key")
+
     def q_emb_cosine_lsh(spark, sf):
         """cosine_top_k's DEFAULT path (queries=None -> LSH-bucketed
         candidates): certifies the scale-default routing end-to-end, not
@@ -1230,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "emb_cosine_lsh_top3": q_emb_cosine_lsh,
         "doc_pii_redact": q_doc_pii_redact,
+        "doc_cap_per_key": q_doc_cap_per_key,
     }
 
 
@@ -1798,4 +1811,13 @@ LEFT JOIN nr ON nr.doc_id = d.doc_id""",
         # (functions/text.py PII_PATTERNS); replacement order fixed
         # email -> url -> phone on both sides
         "doc_pii_redact": _pii_redact_sql(),
+        # per-key quota: md5(id|seed) ranking replayed verbatim
+        "doc_cap_per_key": """
+WITH ranked AS (
+  SELECT doc_id, (doc_id % 7)::VARCHAR AS src_key,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 7
+             ORDER BY md5(doc_id::VARCHAR || '|42') ASC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, src_key FROM ranked WHERE rn <= 30""",
     }

@@ -18,6 +18,7 @@ from cassovary_spark.functions.dedup import (
     DedupIndex,
     build_dedup_index,
     cache_scope,
+    cap_per_key,
     dedup_clusters,
     exact_dedup,
     incremental_dedup,
@@ -54,6 +55,7 @@ __all__ = [
     "DedupIndex",
     "build_dedup_index",
     "cache_scope",
+    "cap_per_key",
     "exact_dedup",
     "dedup_clusters",
     "incremental_dedup",

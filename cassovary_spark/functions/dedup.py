@@ -22,7 +22,7 @@ from __future__ import annotations
 import contextlib
 import threading
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # persisted-intermediate registry: list of generations, each a list of
@@ -590,6 +590,37 @@ def sample_by_hash(
         / F.lit(float(16**13))
     )
     return df.filter(u < F.lit(float(rate)))
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    max_rows: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-key quota sampling: keep at most ``max_rows`` rows per ``key_col``
+    value (per-domain/source caps — the corpus-balancing stage that stops a
+    crawl's mega-domains from dominating a training mix).
+
+    Which rows survive is DETERMINISTIC and order-free: rows rank within
+    their key by md5(id|seed) (ties broken by id), not by arrival order, so
+    the same corpus produces the same sample on any partitioning/engine —
+    the SQL oracle replays the ranking exactly.
+
+    Physical plan (100 TB): one window over ``key_col`` — a single hash
+    exchange on the key with rank computed in-partition and rows dropped
+    before any downstream stage. Skewed mega-keys are exactly the rows this
+    operator deletes, and the window's sort is per-key, not global."""
+    rank_key = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    w = Window.partitionBy(key_col).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__qrn", F.row_number().over(w))
+        .filter(F.col("__qrn") <= max_rows)
+        .drop("__qrn")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -245,3 +245,25 @@ def test_repetition_signals_null_text_is_zero(spark):
         if k.startswith("rep_"):
             assert v == 0.0, (k, v)
     assert out[1]["rep_top2gram_char_frac"] > 0
+
+
+def test_cap_per_key_deterministic_quota(spark):
+    """At most max_rows survive per key; survivors are the md5-rank minima
+    and identical regardless of input partitioning/order."""
+    from cassovary_spark.functions import cap_per_key
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 3}") for i in range(100)], "doc_id long, src_key string"
+    )
+    out = cap_per_key(df, "src_key", 5)
+    counts = {r["src_key"]: r["cnt"] for r in out.groupBy("src_key").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {"k0": 5, "k1": 5, "k2": 5}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in cap_per_key(df.repartition(13).orderBy(F.desc("doc_id")), "src_key", 5).collect()
+    )
+    assert a == b
+    # keys under quota keep everything
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, src_key string")
+    assert cap_per_key(small, "src_key", 5).count() == 2
