@@ -125,12 +125,33 @@ def connected_components(
   LEFT JOIN ({gather}
   ) c ON s.id = c.id"""
                 if pointer_jump:
-                    # label(v) <- label(label(v)): self-join of the update
-                    # subquery (duplicated subtree, deduplicated by the planner)
-                    new_labels = spark.sql(f"""
+                    # label(v) <- label(label(v)) as TWO phases: materialize
+                    # the gather+update once to scratch, then self-join the
+                    # O(V) table. The previous inlined self-join of the
+                    # update subquery looked free but the planner reused only
+                    # one exchange — the O(E) gather aggregation ran TWICE
+                    # per superstep (plan probe: 2x HashAggregate/SMJ over
+                    # the edge view; measured: CC superstep ~4x a pagerank
+                    # superstep at 64M edges). An extra O(V) scratch write is
+                    # far cheaper than a second O(E) gather. Values are
+                    # identical — the jump reads the same update rows.
+                    upd = scratch.roundtrip(
+                        spark.sql(update), bucket_by="id", num_buckets=p
+                    )
+                    upd_table = scratch.last_table
+                    if upd_table is not None:
+                        new_labels = spark.sql(f"""
   SELECT nl.id, coalesce(lut.component, nl.component) AS component
-  FROM ({update}) nl
-  LEFT JOIN ({update}) lut ON nl.component = lut.id""")
+  FROM {upd_table} nl
+  LEFT JOIN {upd_table} lut ON nl.component = lut.id""")
+                    else:
+                        lut = upd.select(
+                            F.col("id").alias("component"),
+                            F.col("component").alias("jump"),
+                        )
+                        new_labels = upd.join(lut, "component", "left").select(
+                            "id", F.coalesce("jump", "component").alias("component")
+                        )
                 else:
                     new_labels = spark.sql(update)
             else:
@@ -152,14 +173,18 @@ def connected_components(
                     )
                 )
                 if pointer_jump:
-                    # label(v) <- label(label(v)): self-join on the label table only
-                    lut = new_labels.select(
+                    # same two-phase shape as the catalog branch: a lazy
+                    # self-join would recompute the O(E) gather twice
+                    upd = scratch.roundtrip(
+                        new_labels.repartition(p, "id"),
+                        bucket_by="id", num_buckets=p,
+                    )
+                    lut = upd.select(
                         F.col("id").alias("component"),
                         F.col("component").alias("jump"),
                     )
-                    new_labels = (
-                        new_labels.join(lut, "component", "left")
-                        .select("id", F.coalesce("jump", "component").alias("component"))
+                    new_labels = upd.join(lut, "component", "left").select(
+                        "id", F.coalesce("jump", "component").alias("component")
                     )
                 new_labels = new_labels.repartition(p, "id")
             # convergence metric (Σ labels strictly decreases until fixpoint)
