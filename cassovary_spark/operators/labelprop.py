@@ -14,15 +14,16 @@ oracle in tests):
   hard cap (oscillation counts as non-convergence and returns the current
   state deterministically).
 
-Scale: one join (edges x labels, co-partitioned) + one count groupBy + one
-window top-1 per superstep; the window partitions by vertex, so hub skew is
-bounded by distinct neighbor LABELS per vertex (<< neighbor count after the
-pre-aggregation).
+Scale: one join (edges x labels, co-partitioned) + one (vertex,label) count
+groupBy + one min(struct(-cnt,label)) argmax aggregation per superstep (r4:
+replaced the row_number window — same winner, but map-side partial combine
+and no per-partition sort); hub skew is bounded by distinct neighbor LABELS
+per vertex (<< neighbor count after the pre-aggregation).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, Window
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from cassovary_spark.checkpoint import CheckpointStore, StateScratch, materialize
@@ -88,8 +89,6 @@ def label_propagation(
         labels = verts.select("id", F.col("id").alias("label"))
     labels = scratch.roundtrip(labels, bucket_by="id", num_buckets=p)
 
-    top1 = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
-
     iteration = start_iter
     import uuid as _uuid
 
@@ -111,18 +110,22 @@ def label_propagation(
             if state_table is not None:
                 # NO WITH clause (see components.py: Spark 4.1 CTE planning
                 # breaks on merge joins over the persisted sorted view)
+                # mode label via min(struct(-cnt, label)): same winner as the
+                # old row_number window (highest count, ties to the smallest
+                # label) but as a plain aggregation — map-side partial combine
+                # and NO per-partition sort of the (id,label) frame (r4;
+                # measured in BENCH/BASELINE.md)
                 new_labels = spark.sql(f"""
   SELECT s.id, coalesce(ml.new_label, s.label) AS label, s.label AS prev
   FROM {state_table} s LEFT JOIN (
-      SELECT id, label AS new_label FROM (
-          SELECT id, label,
-                 row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+      SELECT id, t.lab AS new_label FROM (
+          SELECT id, min(named_struct('negc', -cnt, 'lab', label)) AS t
           FROM (
               SELECT /*+ MERGE(e) */ e.src AS id, l.label, count(*) AS cnt
               FROM {und_view} e JOIN {state_table} l ON e.dst = l.id
               GROUP BY e.src, l.label
-          )
-      ) WHERE rn = 1
+          ) GROUP BY id
+      )
   ) ml ON s.id = ml.id""")
             else:
                 # DataFrame build: first iteration after resume/checkpoint,
@@ -133,10 +136,18 @@ def label_propagation(
                     .groupBy(F.col("src").alias("id"), "label")
                     .agg(F.count("*").alias("cnt"))
                 )
+                # min(struct(-cnt, label)) argmax — see the SQL branch
                 mode_label = (
-                    nbr_label_counts.withColumn("rn", F.row_number().over(top1))
-                    .filter(F.col("rn") == 1)
-                    .select("id", F.col("label").alias("new_label"))
+                    nbr_label_counts.groupBy("id")
+                    .agg(
+                        F.min(
+                            F.struct(
+                                (-F.col("cnt")).alias("negc"),
+                                F.col("label").alias("lab"),
+                            )
+                        ).alias("t")
+                    )
+                    .select("id", F.col("t.lab").alias("new_label"))
                 )
                 new_labels = (
                     labels.join(mode_label, "id", "left")
