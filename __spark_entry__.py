@@ -1174,6 +1174,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cap_per_key(d, "src_key", 30).select("doc_id", "src_key")
 
+    def q_doc_pack(spark, sf):
+        """Sequence packing assignment: every doc lands in a (shard, bin,
+        offset) of 64-token training windows across 16 shards; the md5
+        rank order makes the assignment bit-reproducible, so the oracle
+        replays it."""
+        from cassovary_spark.functions import pack_sequences
+
+        return pack_sequences(
+            docs(spark, sf), target_tokens=64, num_shards=16
+        ).select(
+            "doc_id", "shard", "n_tok", "bin",
+            F.col("offset").alias("bin_offset"),
+        )
+
     def q_emb_cosine_lsh(spark, sf):
         """cosine_top_k's DEFAULT path (queries=None -> LSH-bucketed
         candidates): certifies the scale-default routing end-to-end, not
@@ -1243,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_lsh_top3": q_emb_cosine_lsh,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_cap_per_key": q_doc_cap_per_key,
+        "doc_pack": q_doc_pack,
     }
 
 
@@ -1820,4 +1835,27 @@ WITH ranked AS (
   FROM documents
 )
 SELECT doc_id, src_key FROM ranked WHERE rn <= 30""",
+        # md5 rank + running token sum replayed verbatim (pack_sequences)
+        "doc_pack": f"""
+WITH r AS (
+  SELECT doc_id,
+         md5(doc_id::VARCHAR || '|42') AS rk,
+         len({_DOC_TOKENS})::INT AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT doc_id, rk, n_tok,
+         ('0x' || substring(rk, 1, 8))::BIGINT % 16 AS shard
+  FROM r
+),
+c AS (
+  SELECT doc_id, shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY rk ASC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT doc_id, shard, n_tok,
+       ((cum - n_tok) // 64)::BIGINT AS bin,
+       ((cum - n_tok) % 64)::BIGINT AS bin_offset
+FROM c""",
     }

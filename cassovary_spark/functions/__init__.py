@@ -13,6 +13,7 @@ from cassovary_spark.functions.text import (
     word_ngrams,
     pii_signals,
     redact_pii,
+    pack_sequences,
 )
 from cassovary_spark.functions.dedup import (
     DedupIndex,
@@ -52,6 +53,7 @@ __all__ = [
     "word_ngrams",
     "pii_signals",
     "redact_pii",
+    "pack_sequences",
     "DedupIndex",
     "build_dedup_index",
     "cache_scope",

@@ -298,3 +298,66 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for name, pat in PII_PATTERNS.items():
         c = F.regexp_replace(c, pat, f"<{name.upper()}>")
     return docs.withColumn(f"{text_col}_redacted", c)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    target_tokens: int,
+    num_shards: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document a
+    ``(shard, bin, offset)`` so that concatenating each shard's docs in
+    order fills fixed ``target_tokens`` training windows — the standard
+    LM-pretraining packing step, as a deterministic assignment table
+    (the actual tokenize+concat job consumes it).
+
+    - ``shard``: md5-uniform in [0, num_shards) — the unit of parallelism.
+    - within a shard, docs are ordered by md5(id|seed) (an arbitrary but
+      reproducible shuffle — packing SHOULD mix documents); ``bin`` =
+      floor(running_token_count_before / target_tokens) and ``offset`` =
+      position within that bin. A doc longer than ``target_tokens`` simply
+      spans bins (concat-and-chunk semantics, no padding).
+
+    Physical plan (100 TB): one hash exchange on ``shard`` + one window
+    running-sum per shard — no global sort. ``num_shards`` bounds the
+    per-partition window size: size it so corpus_tokens / num_shards fits
+    an executor task (the default 1024 keeps 100 TB at ~100 GB/shard;
+    raise it proportionally). Same md5 rank construction as
+    ``sample_by_hash`` so the SQL oracle replays the assignment exactly."""
+    from pyspark.sql import Window
+
+    rank_key = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    shard = F.pmod(
+        F.conv(F.substring(rank_key, 1, 8), 16, 10).cast("long"),
+        F.lit(num_shards),
+    )
+    toks = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__rk").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        docs.select(
+            F.col(id_col), rank_key.alias("__rk"), shard.alias("shard"),
+            toks.alias("n_tok"),
+        )
+        .withColumn("__cum", F.sum("n_tok").over(w))
+        .select(
+            id_col,
+            "shard",
+            "n_tok",
+            F.floor((F.col("__cum") - F.col("n_tok")) / target_tokens)
+            .cast("long")
+            .alias("bin"),
+            ((F.col("__cum") - F.col("n_tok")) % target_tokens)
+            .cast("long")
+            .alias("offset"),
+        )
+    )
+    return out

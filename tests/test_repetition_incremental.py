@@ -267,3 +267,40 @@ def test_cap_per_key_deterministic_quota(spark):
     # keys under quota keep everything
     small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, src_key string")
     assert cap_per_key(small, "src_key", 5).count() == 2
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-and-chunk packing: bin/offset equal the md5-ordered running
+    token count within each shard, independent of input partitioning."""
+    import hashlib
+
+    from cassovary_spark.functions import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 17))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, target_tokens=10, num_shards=4).collect()
+    rows = {r["doc_id"]: r for r in out}
+
+    # pure-Python replay of the assignment
+    def rk(i):
+        return hashlib.md5(f"{i}|42".encode()).hexdigest()
+
+    by_shard: dict[int, list[int]] = {}
+    for i in range(300):
+        by_shard.setdefault(int(rk(i)[:8], 16) % 4, []).append(i)
+    for shard, ids in by_shard.items():
+        cum = 0
+        for i in sorted(ids, key=lambda x: (rk(x), x)):
+            r = rows[i]
+            assert r["shard"] == shard
+            assert r["n_tok"] == i % 17
+            assert r["bin"] == cum // 10 and r["offset"] == cum % 10, i
+            cum += i % 17
+
+    # partitioning/order independence
+    out2 = pack_sequences(
+        docs.repartition(7).orderBy(F.desc("doc_id")), target_tokens=10, num_shards=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
