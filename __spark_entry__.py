@@ -1188,6 +1188,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("offset").alias("bin_offset"),
         )
 
+    def q_doc_contamination(spark, sf):
+        """Train/test decontamination: docs 0-9 stand in for a held-out
+        benchmark; every corpus doc reports its distinct shared-5-gram
+        count against them (the benchmark docs flag themselves — genuine
+        hits for the hash check)."""
+        from cassovary_spark.functions import contamination_check
+
+        d = docs(spark, sf)
+        out = contamination_check(d, d.filter(F.col("doc_id") < 10), n=5)
+        return out.select(
+            "doc_id",
+            "contaminated_ngrams",
+            F.col("contaminated").cast("int").alias("contaminated"),
+        )
+
     def q_emb_cosine_lsh(spark, sf):
         """cosine_top_k's DEFAULT path (queries=None -> LSH-bucketed
         candidates): certifies the scale-default routing end-to-end, not
@@ -1258,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redact": q_doc_pii_redact,
         "doc_cap_per_key": q_doc_cap_per_key,
         "doc_pack": q_doc_pack,
+        "doc_contamination": q_doc_contamination,
     }
 
 
@@ -1858,4 +1874,32 @@ SELECT doc_id, shard, n_tok,
        ((cum - n_tok) // 64)::BIGINT AS bin,
        ((cum - n_tok) % 64)::BIGINT AS bin_offset
 FROM c""",
+        # normalized word 5-grams; benchmark = docs 0-9 (contamination_check)
+        "doc_contamination": """
+WITH nt AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 3),
+      i -> array_to_string(list_slice(toks, i::INT, i::INT + 4), ' '))) AS gram
+  FROM nt WHERE doc_id < 10 AND len(toks) >= 5
+),
+dg AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+      i -> array_to_string(list_slice(toks, i::INT, i::INT + 4), ' '))) AS gram
+  FROM nt WHERE len(toks) >= 5
+),
+hits AS (
+  SELECT dg.doc_id, count(*)::BIGINT AS contaminated_ngrams
+  FROM dg JOIN bg ON dg.gram = bg.gram
+  GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.contaminated_ngrams, 0)::BIGINT AS contaminated_ngrams,
+       (COALESCE(h.contaminated_ngrams, 0) > 0)::INT AS contaminated
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN hits h ON h.doc_id = d.doc_id""",
     }

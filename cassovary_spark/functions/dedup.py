@@ -798,3 +798,66 @@ def incremental_dedup(
             ).alias("keep"),
         )
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark_text_col: str | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Train/test decontamination: per-doc count of DISTINCT normalized word
+    n-grams shared with a benchmark corpus (the GPT-3-style n-gram overlap
+    rule). One row per doc: ``(doc_id, contaminated_ngrams, contaminated)``.
+
+    Normalization matches the dedup fingerprint (lowercase, collapse
+    whitespace) so cosmetic edits don't hide overlap.
+
+    Physical strategy (100 TB corpus vs a benchmark of at most millions of
+    grams): the benchmark's distinct gram set is BROADCAST (default), so the
+    corpus-side explode is filtered in place by the hash join — corpus grams
+    never shuffle; only actual hits reach the per-doc count aggregation.
+    Set ``broadcast_benchmark=False`` for giant benchmark suites (falls back
+    to an AQE-planned shuffle join on the gram)."""
+    from cassovary_spark.functions.text import word_ngrams
+
+    def norm_toks(tc: str) -> Column:
+        return F.filter(F.split(_norm(tc), " "), lambda t: t != "")
+
+    bg = (
+        benchmark.select(
+            F.explode_outer(
+                word_ngrams(norm_toks(benchmark_text_col or text_col), n)
+            ).alias("gram")
+        )
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    dg = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(norm_toks(text_col), n)).alias("gram"),
+        )
+        .distinct()
+    )
+    hits = dg.join(bg, "gram").groupBy("doc_id").agg(
+        F.count("*").alias("contaminated_ngrams")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("contaminated_ngrams", F.lit(0)).alias(
+                "contaminated_ngrams"
+            ),
+            (F.coalesce("contaminated_ngrams", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -304,3 +304,28 @@ def test_pack_sequences_invariants(spark):
         docs.repartition(7).orderBy(F.desc("doc_id")), target_tokens=10, num_shards=4
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_contamination_check_ngram_overlap(spark):
+    """A doc sharing a benchmark 4-gram is flagged with the exact distinct
+    count; normalization (case/whitespace) doesn't hide overlap; clean docs
+    report 0."""
+    from cassovary_spark.functions import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains "the quick brown fox" and "quick brown fox jumps"
+            (0, "we said THE  Quick   brown fox jumps away"),
+            (1, "entirely different words with no shared windows here"),
+            (2, "dog"),  # shorter than n: no grams, clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in contamination_check(docs, bench, n=4).collect()}
+    assert out[0]["contaminated_ngrams"] == 2 and out[0]["contaminated"]
+    assert out[1]["contaminated_ngrams"] == 0 and not out[1]["contaminated"]
+    assert out[2]["contaminated_ngrams"] == 0 and not out[2]["contaminated"]
