@@ -838,15 +838,19 @@ def contamination_check(
     )
     if broadcast_benchmark:
         bg = F.broadcast(bg)
-    dg = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_ngrams(norm_toks(text_col), n)).alias("gram"),
-        )
-        .distinct()
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(norm_toks(text_col), n)).alias("gram"),
     )
-    hits = dg.join(bg, "gram").groupBy("doc_id").agg(
-        F.count("*").alias("contaminated_ngrams")
+    # join FIRST, distinct AFTER: the broadcast hash join filters corpus
+    # grams in their scan partitions, so the only rows that ever shuffle
+    # (for the distinct + count) are genuine benchmark hits — a corpus-side
+    # distinct before the join would shuffle EVERY corpus gram
+    hits = (
+        dg.join(bg, "gram")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("contaminated_ngrams"))
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"))

@@ -322,11 +322,13 @@ def pack_sequences(
       spans bins (concat-and-chunk semantics, no padding).
 
     Physical plan (100 TB): one hash exchange on ``shard`` + one window
-    running-sum per shard — no global sort. ``num_shards`` bounds the
-    per-partition window size: size it so corpus_tokens / num_shards fits
-    an executor task (the default 1024 keeps 100 TB at ~100 GB/shard;
-    raise it proportionally). Same md5 rank construction as
-    ``sample_by_hash`` so the SQL oracle replays the assignment exactly."""
+    running-sum per shard — no global sort, and the window carries only the
+    narrow ``(id, rank, n_tok)`` projection (~30 bytes/row), never the text.
+    ``num_shards`` bounds the per-shard window: at 100 TB / ~5 KB docs =
+    2e10 docs, the default 1024 shards puts ~20M rows (~600 MB of narrow
+    rows) in each window task — raise ``num_shards`` if docs are much
+    smaller. Same md5 rank construction as ``sample_by_hash`` so the SQL
+    oracle replays the assignment exactly."""
     from pyspark.sql import Window
 
     rank_key = F.md5(
