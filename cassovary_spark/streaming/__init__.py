@@ -13,5 +13,14 @@ from cassovary_spark.streaming.ingest import (
     stream_turn_edges,
     stream_degree_counts,
 )
+from cassovary_spark.streaming.dedup import (
+    stream_exact_dedup,
+    stream_incremental_dedup_writer,
+)
 
-__all__ = ["stream_turn_edges", "stream_degree_counts"]
+__all__ = [
+    "stream_turn_edges",
+    "stream_degree_counts",
+    "stream_exact_dedup",
+    "stream_incremental_dedup_writer",
+]
