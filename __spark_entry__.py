@@ -1875,7 +1875,7 @@ SELECT doc_id, shard, n_tok,
        ((cum - n_tok) % 64)::BIGINT AS bin_offset
 FROM c""",
         # normalized word 5-grams; benchmark = docs 0-9 (contamination_check)
-        "doc_contamination": """
+        "doc_contamination": r"""
 WITH nt AS (
   SELECT doc_id,
          list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),

@@ -32,10 +32,25 @@ from pyspark.sql import functions as F
 # evict its own first persist before the final action ran).
 _cache_generations: list[list[DataFrame]] = []
 _cache_lock = threading.Lock()
-# depth of open cache_scope() contexts in this thread-group; while >0,
-# helper calls join the scope's generation instead of opening new ones
-_scope_depth = 0
-_scope_gen: list[DataFrame] | None = None
+# depth of open cache_scope() contexts in the CURRENT THREAD; while >0,
+# helper calls on that thread join the scope's generation instead of opening
+# new ones. Thread-local (ADVICE r4): a dedup call on another driver thread
+# must not silently join an unrelated thread's open scope — the shared
+# registry above stays global and lock-guarded, but scope membership is
+# per-thread.
+_scope_state = threading.local()
+# all currently-open scope generations across threads (identity semantics —
+# guarded by _cache_lock); lets release_caches keep every open scope's list
+# object registered instead of orphaning another thread's scope
+_open_scope_gens: list[list[DataFrame]] = []
+
+
+def _scope_depth() -> int:
+    return getattr(_scope_state, "depth", 0)
+
+
+def _scope_gen_of_thread() -> list[DataFrame] | None:
+    return getattr(_scope_state, "gen", None)
 
 
 def _new_generation() -> list[DataFrame]:
@@ -46,8 +61,9 @@ def _new_generation() -> list[DataFrame]:
     pipeline cannot evict its own earlier persists (ADVICE r3)."""
     to_free: list[DataFrame] = []
     with _cache_lock:
-        if _scope_depth > 0 and _scope_gen is not None:
-            return _scope_gen
+        scope_gen = _scope_gen_of_thread()
+        if _scope_depth() > 0 and scope_gen is not None:
+            return scope_gen
         gen: list[DataFrame] = []
         _cache_generations.append(gen)
         while len(_cache_generations) > 2:
@@ -68,26 +84,33 @@ def cache_scope():
     context appends to ONE shared generation, freed only when a later
     top-level call (or ``release_caches``) retires it — so "LSH candidates
     -> ngram verify -> simhash" keeps all its persists live for the whole
-    pipeline. Re-entrant; thread-safe with respect to the registry."""
-    global _scope_depth, _scope_gen
+    pipeline. Re-entrant; thread-safe with respect to the registry. Scope
+    membership is per-thread (ADVICE r4): a dedup call on another driver
+    thread never joins this scope's generation."""
     with _cache_lock:
-        if _scope_depth == 0:
-            _scope_gen = []
-            _cache_generations.append(_scope_gen)
+        if _scope_depth() == 0:
+            _scope_state.gen = []
+            _cache_generations.append(_scope_state.gen)
+            _open_scope_gens.append(_scope_state.gen)
             while len(_cache_generations) > 2:
                 for df in _cache_generations.pop(0):
                     try:
                         df.unpersist(False)
                     except Exception:  # noqa: BLE001
                         pass
-        _scope_depth += 1
+        _scope_state.depth = _scope_depth() + 1
     try:
         yield
     finally:
         with _cache_lock:
-            _scope_depth -= 1
-            if _scope_depth == 0:
-                _scope_gen = None
+            _scope_state.depth = _scope_depth() - 1
+            if _scope_state.depth == 0:
+                gen = _scope_state.gen
+                for i, g in enumerate(_open_scope_gens):
+                    if g is gen:
+                        del _open_scope_gens[i]
+                        break
+                _scope_state.gen = None
 
 
 def release_caches() -> int:
@@ -95,13 +118,21 @@ def release_caches() -> int:
     n = 0
     with _cache_lock:
         gens, _cache_generations[:] = list(_cache_generations), []
-        if _scope_depth > 0 and _scope_gen is not None and _scope_gen in gens:
-            # an open cache_scope keeps its (now-emptied) generation live
-            gens.remove(_scope_gen)
-            for df in _scope_gen:
+        for open_gen in _open_scope_gens:
+            # every open cache_scope (any thread) keeps its now-emptied
+            # generation object registered; its frames are still freed.
+            # Identity matching (ADVICE r4): two empty generations compare
+            # equal, so `in`/`remove` could drop the wrong list object.
+            for i, g in enumerate(gens):
+                if g is open_gen:
+                    del gens[i]
+                    break
+            else:
+                continue
+            for df in open_gen:
                 gens.append([df])
-            _scope_gen.clear()
-            _cache_generations.append(_scope_gen)
+            open_gen.clear()
+            _cache_generations.append(open_gen)
     for gen in gens:
         for df in gen:
             try:
@@ -610,8 +641,13 @@ def cap_per_key(
 
     Physical plan (100 TB): one window over ``key_col`` — a single hash
     exchange on the key with rank computed in-partition and rows dropped
-    before any downstream stage. Skewed mega-keys are exactly the rows this
-    operator deletes, and the window's sort is per-key, not global."""
+    before any downstream stage. Spark 4.x additionally plants a PARTIAL
+    ``WindowGroupLimit`` before the exchange (rank-limit pushdown for
+    ``row_number <= k`` filters), so each map partition ships at most
+    ``max_rows`` rows per key: the reduce-side single-task bound for a
+    mega-key is ``max_rows * num_map_partitions`` rows, NOT the key's full
+    row count — verified via ``.explain`` in tests. On engines without the
+    pushdown, pre-reduce with a sampled per-key rank threshold first."""
     rank_key = F.md5(
         F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))
     )
@@ -656,33 +692,30 @@ class DedupIndex:
 
     def save(self, path: str) -> None:
         """Write both tables + config under ``path`` (parquet; swap for
-        Iceberg `writeTo` when a catalog is configured)."""
-        import json
-        import os
+        Iceberg `writeTo` when a catalog is configured).
 
+        The config rides as a 1-row Spark JSON dataset (ADVICE r4): a
+        driver-local ``open()`` would break save/load on the very
+        filesystems (HDFS/S3) the daily 100 TB workflow targets — all three
+        writes must go through the same Hadoop FileSystem as the tables."""
         self.fingerprints.write.mode("overwrite").parquet(f"{path}/fingerprints")
         self.buckets.write.mode("overwrite").parquet(f"{path}/buckets")
-        os.makedirs(path, exist_ok=True)
-        with open(f"{path}/index.json", "w") as f:
-            json.dump(
-                {
-                    "num_hashes": self.num_hashes,
-                    "bands": self.bands,
-                    "shingle_n": self.shingle_n,
-                },
-                f,
-            )
+        spark = self.fingerprints.sparkSession
+        conf_df = spark.createDataFrame(
+            [(int(self.num_hashes), int(self.bands), int(self.shingle_n))],
+            "num_hashes int, bands int, shingle_n int",
+        )
+        conf_df.coalesce(1).write.mode("overwrite").json(f"{path}/index_conf")
 
     @staticmethod
     def load(spark, path: str) -> "DedupIndex":
-        import json
-
-        with open(f"{path}/index.json") as f:
-            conf = json.load(f)
+        row = spark.read.json(f"{path}/index_conf").first()
         return DedupIndex(
             spark.read.parquet(f"{path}/fingerprints"),
             spark.read.parquet(f"{path}/buckets"),
-            **conf,
+            num_hashes=int(row["num_hashes"]),
+            bands=int(row["bands"]),
+            shingle_n=int(row["shingle_n"]),
         )
 
     def extend(

@@ -62,9 +62,9 @@ def label_propagation(
         ids, si, di = LE.edges_to_numpy(edges)
         if len(ids) == 0:
             return spark.createDataFrame([], "id long, label long")
-        lab = LE.label_propagation_numpy(ids, si, di, max_iterations)
+        lab, rounds_run = LE.label_propagation_numpy(ids, si, di, max_iterations)
         if stats is not None:
-            stats["iterations"] = max_iterations
+            stats["iterations"] = rounds_run
         return LE.result_df(spark, ids, {"label": lab}, "id long, label long")
 
     p = choose_partitions(spark, m0, num_partitions)

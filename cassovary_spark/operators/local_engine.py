@@ -159,7 +159,8 @@ def label_propagation_numpy(
     vertex id; each round every vertex adopts the most frequent label among
     its undirected neighbors, ties broken by SMALLEST label; a vertex keeps
     its label when it has no neighbors. Runs ``max_iterations`` rounds or
-    until no label changes."""
+    until no label changes; returns ``(labels, rounds_run)`` so callers
+    report the ACTUAL iteration count on early convergence (ADVICE r4)."""
     n = len(ids)
     labels = np.arange(n, dtype=np.int64)  # positions into ids
     # graph.mutualize semantics: union with transpose, DEDUPE, drop self-loops
@@ -170,7 +171,9 @@ def label_propagation_numpy(
     key = a * np.int64(n) + b
     uniq = np.unique(key)
     av, bv = uniq // n, uniq % n
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         lab = labels[bv]
         # most frequent neighbor label per vertex, ties -> smallest label id
         df = pd.DataFrame({"v": av, "lab": ids[lab]})
@@ -184,7 +187,7 @@ def label_propagation_numpy(
         if (new_pos == labels).all():
             break
         labels = new_pos
-    return ids[labels]
+    return ids[labels], rounds
 
 
 def bfs_numpy(

@@ -269,6 +269,20 @@ def test_cap_per_key_deterministic_quota(spark):
     assert cap_per_key(small, "src_key", 5).count() == 2
 
 
+def test_cap_per_key_plan_has_partial_window_group_limit(spark):
+    """Mega-key safety: the row_number<=k filter must push a PARTIAL
+    WindowGroupLimit below the exchange, bounding what any map partition
+    ships for a hot key to max_rows (the docstring's 100 TB claim)."""
+    from cassovary_spark.functions import cap_per_key
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 3}") for i in range(100)], "doc_id long, src_key string"
+    )
+    plan = cap_per_key(df, "src_key", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+
+
 def test_pack_sequences_invariants(spark):
     """Concat-and-chunk packing: bin/offset equal the md5-ordered running
     token count within each shard, independent of input partitioning."""
