@@ -39,9 +39,41 @@ def edges_to_numpy(edges: DataFrame):
     return ids, np.searchsorted(ids, src), np.searchsorted(ids, dst)
 
 
+# results larger than this round-trip through scratch parquet: a
+# createDataFrame result compiles to a driver-side LocalTableScan that
+# re-pays O(n) single-threaded row copying on EVERY action (measured
+# ~2s/M rows/action at local[32]); a parquet-backed scan pays one ~ms
+# driver write and then counts/joins at codegen speed
+RESULT_SCRATCH_THRESHOLD = 50_000
+
+
 def result_df(spark, ids: np.ndarray, cols: dict[str, np.ndarray], schema: str) -> DataFrame:
-    data = {"id": ids, **cols}
-    return spark.createDataFrame(pd.DataFrame(data), schema=schema)
+    # pyarrow Table straight from the numpy arrays (zero-copy) — skips the
+    # pandas detour and its block consolidation
+    import pyarrow as pa
+
+    tbl = pa.table({"id": ids, **cols})
+    if len(ids) < RESULT_SCRATCH_THRESHOLD:
+        return spark.createDataFrame(tbl, schema=schema)
+
+    import atexit
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from cassovary_spark.session import _scratch_root
+
+    out_dir = f"{_scratch_root()}/local_results/{os.getpid()}"
+    os.makedirs(out_dir, exist_ok=True)
+    if not getattr(result_df, "_cleanup_registered", False):
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        result_df._cleanup_registered = True
+    path = f"{out_dir}/{uuid.uuid4().hex[:12]}.parquet"
+    # multiple row groups so downstream scans parallelize
+    pq.write_table(tbl, path, row_group_size=max(65_536, len(ids) // 16))
+    return spark.read.schema(schema).parquet(path)
 
 
 def pagerank_numpy(
