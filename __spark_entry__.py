@@ -1203,6 +1203,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("contaminated").cast("int").alias("contaminated"),
         )
 
+    def q_doc_pack_chunks(spark, sf):
+        """Chunk-level packing: one row per (doc, bin) piece with explicit
+        in-doc split points, so a doc longer than the 64-token window is
+        consumed without re-deriving where it splits (same md5 shard/rank
+        stream as doc_pack)."""
+        from cassovary_spark.functions import pack_chunks
+
+        return pack_chunks(docs(spark, sf), target_tokens=64, num_shards=16)
+
+    def q_doc_contamination_spans(spark, sf):
+        """Span-level decontamination: merged token-offset windows of
+        benchmark overlap (docs 0-9 as the benchmark), so a scrub stage
+        cuts the contaminated span instead of dropping the doc."""
+        from cassovary_spark.functions import contamination_spans
+
+        d = docs(spark, sf)
+        return contamination_spans(d, d.filter(F.col("doc_id") < 10), n=5)
+
     def q_emb_cosine_lsh(spark, sf):
         """cosine_top_k's DEFAULT path (queries=None -> LSH-bucketed
         candidates): certifies the scale-default routing end-to-end, not
@@ -1274,6 +1292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cap_per_key": q_doc_cap_per_key,
         "doc_pack": q_doc_pack,
         "doc_contamination": q_doc_contamination,
+        "doc_pack_chunks": q_doc_pack_chunks,
+        "doc_contamination_spans": q_doc_contamination_spans,
     }
 
 
@@ -1902,4 +1922,77 @@ SELECT d.doc_id,
        (COALESCE(h.contaminated_ngrams, 0) > 0)::INT AS contaminated
 FROM (SELECT doc_id FROM documents) d
 LEFT JOIN hits h ON h.doc_id = d.doc_id""",
+        # chunk-level packing: same md5 shard/rank/cumsum stream as doc_pack,
+        # then each doc explodes over the 64-token bins it intersects
+        "doc_pack_chunks": f"""
+WITH r AS (
+  SELECT doc_id,
+         md5(doc_id::VARCHAR || '|42') AS rk,
+         len({_DOC_TOKENS})::INT AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT doc_id, rk, n_tok,
+         ('0x' || substring(rk, 1, 8))::BIGINT % 16 AS shard
+  FROM r
+),
+c AS (
+  SELECT doc_id, shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY rk ASC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+  FROM s
+),
+g AS (
+  SELECT doc_id, shard, n_tok, cum, (cum - n_tok)::BIGINT AS g0
+  FROM c WHERE n_tok > 0
+),
+x AS (
+  SELECT doc_id, shard, cum, g0,
+         unnest(range(g0 // 64, (cum - 1) // 64 + 1)) AS bin
+  FROM g
+)
+SELECT doc_id, shard, bin::BIGINT AS bin,
+       (GREATEST(bin * 64, g0) - bin * 64)::BIGINT AS bin_offset,
+       (GREATEST(bin * 64, g0) - g0)::BIGINT AS doc_tok_start,
+       (LEAST((bin + 1) * 64, cum) - GREATEST(bin * 64, g0))::BIGINT AS chunk_len
+FROM x""",
+        # span-level decontamination: positional 5-gram hits vs docs 0-9,
+        # gaps-and-islands merge of [pos, pos+5) windows
+        "doc_contamination_spans": r"""
+WITH nt AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 3),
+      i -> array_to_string(list_slice(toks, i::INT, i::INT + 4), ' '))) AS gram
+  FROM nt WHERE doc_id < 10 AND len(toks) >= 5
+),
+dgp AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i::INT, i::INT + 4), ' ') AS gram
+  FROM nt, unnest(range(1, len(toks) - 3)) AS t(i)
+  WHERE len(toks) >= 5
+),
+hits AS (
+  SELECT DISTINCT dgp.doc_id, dgp.pos FROM dgp JOIN bg ON dgp.gram = bg.gram
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                  -1000000000) + 5 THEN 1 ELSE 0 END AS new_span
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id, MIN(pos)::BIGINT AS span_start,
+       (MAX(pos) + 5 - MIN(pos))::BIGINT AS span_len,
+       COUNT(*)::BIGINT AS gram_hits
+FROM isl GROUP BY doc_id, island""",
     }

@@ -898,3 +898,81 @@ def contamination_check(
             ),
         )
     )
+
+
+def contamination_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark_text_col: str | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Span-level decontamination: WHERE each benchmark overlap sits, so a
+    scrub stage can cut the contaminated window instead of dropping the
+    whole document (the GPT-3-style surgical scrub).
+
+    A hit at n-gram position ``i`` (0-based token offset — gram ``i`` starts
+    at token ``i`` of the normalized whitespace tokenization) covers tokens
+    ``[i, i + n)``. Overlapping and back-to-back hit windows merge into
+    maximal spans. One row per contaminated span:
+    ``(doc_id, span_start, span_len, gram_hits)`` — ``span_start`` the first
+    contaminated token index, ``span_len`` in tokens, ``gram_hits`` the
+    number of distinct hit grams merged into the span. Clean docs emit no
+    rows.
+
+    Physical strategy: identical to ``contamination_check`` (benchmark gram
+    set broadcast; corpus grams filtered in their scan partitions; only
+    genuine hits shuffle) plus one per-doc window for the interval merge —
+    the window's input is the HIT list, sparse by construction, so the
+    per-doc sort is over a handful of positions even for 100 TB corpora."""
+    from cassovary_spark.functions.text import word_ngrams
+
+    def norm_toks(tc: str) -> Column:
+        return F.filter(F.split(_norm(tc), " "), lambda t: t != "")
+
+    bg = (
+        benchmark.select(
+            F.explode_outer(
+                word_ngrams(norm_toks(benchmark_text_col or text_col), n)
+            ).alias("gram")
+        )
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_ngrams(norm_toks(text_col), n)).alias("pos", "gram"),
+    )
+    hits = dg.join(bg, "gram").select("doc_id", "pos").distinct()
+
+    # gaps-and-islands over the sparse hit positions: a new span starts when
+    # this window [pos, pos+n) neither overlaps nor touches the previous one.
+    # Two window steps (lag -> running sum): nesting one window function
+    # inside another is illegal in both Spark and the SQL oracle.
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "__new_span",
+        F.when(
+            F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-(10**9))) + n,
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.withColumn(
+            "__island",
+            F.sum("__new_span").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "__island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n - F.min("pos")).cast("long").alias("span_len"),
+            F.count("*").alias("gram_hits"),
+        )
+        .select("doc_id", "span_start", "span_len", "gram_hits")
+    )

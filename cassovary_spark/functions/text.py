@@ -363,3 +363,76 @@ def pack_sequences(
         )
     )
     return out
+
+
+def pack_chunks(
+    docs: DataFrame,
+    target_tokens: int,
+    num_shards: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Chunk-level view of ``pack_sequences``: one row per (doc, bin) piece,
+    so the tokenize+concat consumer gets explicit split points instead of
+    re-deriving them when a document spans training windows.
+
+    For a doc occupying shard-stream token positions ``[g, g + n_tok)``
+    (``g`` = running sum of earlier docs in its shard, same md5 ordering as
+    ``pack_sequences``), every bin ``b`` it intersects emits:
+
+    - ``bin``: the training-window index ``b`` within the shard
+    - ``bin_offset``: where the piece starts inside bin ``b``
+    - ``doc_tok_start``: in-DOC token index where the piece begins
+    - ``chunk_len``: piece length in tokens (> 0)
+
+    Concatenating pieces of a bin by ``bin_offset`` reproduces the window;
+    concatenating a doc's pieces by ``doc_tok_start`` reproduces the doc.
+    Empty docs (0 tokens) emit no rows.
+
+    Physical plan: identical to ``pack_sequences`` (one exchange on shard +
+    one narrow per-shard running-sum window) plus an in-row explode over the
+    bins each doc touches — ceil(n_tok / target_tokens) + 1 rows max, no
+    extra shuffle."""
+    from pyspark.sql import Window
+
+    rank_key = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    shard = F.pmod(
+        F.conv(F.substring(rank_key, 1, 8), 16, 10).cast("long"),
+        F.lit(num_shards),
+    )
+    toks = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__rk").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = (
+        docs.select(
+            F.col(id_col), rank_key.alias("__rk"), shard.alias("shard"),
+            toks.alias("n_tok"),
+        )
+        .withColumn("__cum", F.sum("n_tok").over(w))
+        .filter(F.col("n_tok") > 0)
+        .withColumn("__g", F.col("__cum") - F.col("n_tok"))
+    )
+    first_bin = F.floor(F.col("__g") / target_tokens)
+    last_bin = F.floor((F.col("__cum") - 1) / target_tokens)
+    b = F.col("bin")
+    piece_start = F.greatest(b * target_tokens, F.col("__g"))
+    piece_end = F.least((b + 1) * target_tokens, F.col("__cum"))
+    return (
+        base.withColumn(
+            "bin", F.explode(F.sequence(first_bin, last_bin))
+        )
+        .select(
+            id_col,
+            "shard",
+            b.cast("long").alias("bin"),
+            (piece_start - b * target_tokens).cast("long").alias("bin_offset"),
+            (piece_start - F.col("__g")).cast("long").alias("doc_tok_start"),
+            (piece_end - piece_start).cast("long").alias("chunk_len"),
+        )
+    )

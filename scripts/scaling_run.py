@@ -42,6 +42,47 @@ LEVELS = tuple(
 )
 
 
+def _stage_metric_sums(spark) -> dict:
+    """Sum task metrics over all completed stages so far (REST status API).
+
+    Called before/after the timed region; the difference isolates the
+    measured run. Gives the evidence VERDICT r4 asked for: executor
+    run-time vs wall (scheduling gaps / stragglers), CPU fraction, GC,
+    shuffle volume, and spill."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return {}
+    try:
+        with urllib.request.urlopen(f"{base}/api/v1/applications", timeout=10) as r:
+            apps = json.loads(r.read())
+        app_id = apps[0]["id"]
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete", timeout=30
+        ) as r:
+            stages = json.loads(r.read())
+    except Exception as e:  # noqa: BLE001 — metrics are best-effort
+        print(f"stage metrics unavailable: {e}", file=sys.stderr)
+        return {}
+    keys = {
+        "executorRunTime": "run_ms",
+        "executorCpuTime": "cpu_ns",
+        "jvmGcTime": "gc_ms",
+        "shuffleReadBytes": "shuffle_read_b",
+        "shuffleWriteBytes": "shuffle_write_b",
+        "memoryBytesSpilled": "mem_spill_b",
+        "diskBytesSpilled": "disk_spill_b",
+        "inputBytes": "input_b",
+        "numTasks": "tasks",
+    }
+    out = {v: 0 for v in keys.values()}
+    for st in stages:
+        for k, v in keys.items():
+            out[v] += int(st.get(k, 0) or 0)
+    return out
+
+
 def child(cores: int) -> None:
     from cassovary_spark.operators import (
         connected_components,
@@ -60,9 +101,12 @@ def child(cores: int) -> None:
     # settings (e.g. spark.io.compression.codec) can only vary across child
     # processes, never within one session
     extra = json.loads(os.environ.get("SCALING_EXTRA_CONF", "{}"))
+    # the status REST API needs the UI; identical at every level so the
+    # (small) overhead cancels out of the efficiency ratio
+    extra.setdefault("spark.ui.enabled", "true")
     spark = get_spark(
         app_name=f"scaling_{cores}", cores=cores, shuffle_partitions=parts,
-        extra_conf=extra or None,
+        extra_conf=extra,
     )
     t = synth_transcripts(spark, n_convs=N_CONVS, seed=42)
     edges = turn_edges(t).persist()
@@ -83,6 +127,7 @@ def child(cores: int) -> None:
     # evidence is always the DISTRIBUTED path.
     if ALGO == "pagerank":
         pagerank(edges, max_iterations=2, num_partitions=parts, engine="distributed")
+        pre = _stage_metric_sums(spark)
         t0 = time.time()
         res = pagerank(edges, max_iterations=ITERS, num_partitions=parts,
                        engine="distributed")
@@ -102,6 +147,7 @@ def child(cores: int) -> None:
             edges, max_iterations=2, num_partitions=parts, engine="distributed"
         )
         stats: dict = {}
+        pre = _stage_metric_sums(spark)
         t0 = time.time()
         res = connected_components(
             edges, num_partitions=parts, engine="distributed", stats=stats
@@ -122,6 +168,7 @@ def child(cores: int) -> None:
             edges, max_iterations=2, num_partitions=parts, engine="distributed"
         )
         stats = {}
+        pre = _stage_metric_sums(spark)
         t0 = time.time()
         res = label_propagation(
             edges, max_iterations=ITERS, num_partitions=parts,
@@ -138,6 +185,29 @@ def child(cores: int) -> None:
         extra = {}
     else:
         raise SystemExit(f"unknown SCALING_ALGO {ALGO!r}")
+
+    post = _stage_metric_sums(spark)
+    if pre and post:
+        d = {k: post[k] - pre[k] for k in post}
+        run_s = d["run_ms"] / 1e3
+        extra["stage_metrics"] = {
+            "executor_run_sec": round(run_s, 1),
+            "executor_cpu_sec": round(d["cpu_ns"] / 1e9, 1),
+            "gc_sec": round(d["gc_ms"] / 1e3, 1),
+            "shuffle_read_gb": round(d["shuffle_read_b"] / 2**30, 2),
+            "shuffle_write_gb": round(d["shuffle_write_b"] / 2**30, 2),
+            "mem_spill_gb": round(d["mem_spill_b"] / 2**30, 2),
+            "disk_spill_gb": round(d["disk_spill_b"] / 2**30, 2),
+            "tasks": d["tasks"],
+            # slot occupancy: how full the cores x wall box actually was;
+            # a collapse here = scheduling gaps / stragglers, not bandwidth
+            "slot_occupancy": round(run_s / (wall * cores), 3),
+            # CPU fraction of occupied slot time; a collapse here at high
+            # core counts = threads stalled off-CPU (IO/locks), while a
+            # high value with poor scaling = memory-bandwidth-bound
+            # (stalled cycles still accrue thread CPU time)
+            "cpu_fraction": round(d["cpu_ns"] / 1e9 / run_s, 3) if run_s else None,
+        }
 
     med = sorted(walls)[len(walls) // 2]
     print(

@@ -343,3 +343,88 @@ def test_contamination_check_ngram_overlap(spark):
     assert out[0]["contaminated_ngrams"] == 2 and out[0]["contaminated"]
     assert out[1]["contaminated_ngrams"] == 0 and not out[1]["contaminated"]
     assert out[2]["contaminated_ngrams"] == 0 and not out[2]["contaminated"]
+
+
+def test_contamination_spans_merge_and_offsets(spark):
+    """Hit windows [pos, pos+n) merge into maximal spans; token offsets are
+    0-based into the normalized tokenization; clean docs emit nothing."""
+    from cassovary_spark.functions import contamination_spans
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # two disjoint copies of the 10-token benchmark text: grams hit
+            # at positions 3,4,5 and 21,22,23 -> two spans of 10 tokens
+            (100, "intro words here the quick brown fox jumps over the lazy "
+                  "dog tonight more filler text words go here and then the "
+                  "quick brown fox jumps over the lazy dog tonight trailing bits"),
+            (101, "totally clean document with no overlap at all in any window"),
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_spans(docs, bench, n=8).orderBy("span_start").collect()
+    assert [(r["doc_id"], r["span_start"], r["span_len"], r["gram_hits"]) for r in out] == [
+        (100, 3, 10, 3),
+        (100, 21, 10, 3),
+    ]
+
+
+def test_contamination_spans_adjacent_windows_merge(spark):
+    """Back-to-back (non-overlapping) hit windows still merge into one span."""
+    from cassovary_spark.functions import contamination_spans
+
+    bench = spark.createDataFrame(
+        [(0, "a b c"), (1, "x y z")], "doc_id long, text string"
+    )
+    # doc: a b c x y z -> hits at pos 0 (a b c) and pos 3 (x y z); windows
+    # [0,3) and [3,6) touch -> one span [0,6)
+    docs = spark.createDataFrame([(9, "a b c x y z")], "doc_id long, text string")
+    out = contamination_spans(docs, bench, n=3).collect()
+    assert [(r["span_start"], r["span_len"], r["gram_hits"]) for r in out] == [(0, 6, 2)]
+
+
+def test_pack_chunks_tiles_bins_and_reassembles_docs(spark):
+    """Chunk rows (a) sum to each doc's token count, (b) agree with
+    pack_sequences on the first piece, (c) tile every bin gaplessly from
+    offset 0, and (d) emit nothing for empty docs."""
+    import collections
+
+    from cassovary_spark.functions import pack_chunks, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (7 * (i % 13) + 1))) for i in range(150)]
+        + [(999, "")],
+        "doc_id long, text string",
+    )
+    ps = {r["doc_id"]: r for r in pack_sequences(docs, 64, num_shards=4).collect()}
+    chunks = pack_chunks(docs, 64, num_shards=4).collect()
+
+    per_doc = collections.defaultdict(int)
+    for c in chunks:
+        assert c["chunk_len"] > 0
+        per_doc[c["doc_id"]] += c["chunk_len"]
+    for did, r in ps.items():
+        assert per_doc.get(did, 0) == r["n_tok"], did
+    assert 999 not in per_doc
+
+    first = {c["doc_id"]: c for c in chunks if c["doc_tok_start"] == 0}
+    for did, r in ps.items():
+        if r["n_tok"] == 0:
+            continue
+        f = first[did]
+        assert (f["shard"], f["bin"], f["bin_offset"]) == (
+            r["shard"], r["bin"], r["offset"]), did
+
+    bybin = collections.defaultdict(list)
+    for c in chunks:
+        bybin[(c["shard"], c["bin"])].append((c["bin_offset"], c["chunk_len"]))
+    for key, pieces in bybin.items():
+        pieces.sort()
+        pos = 0
+        for off, ln in pieces:
+            assert off == pos, (key, pieces)
+            pos = off + ln
+        assert pos <= 64, (key, pieces)
