@@ -1221,6 +1221,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = docs(spark, sf)
         return contamination_spans(d, d.filter(F.col("doc_id") < 10), n=5)
 
+    def q_doc_scrub(spark, sf):
+        """GPT-3-style surgical scrub applied: contaminated token windows
+        (vs the docs 0-9 benchmark) cut out of the text, survivors
+        re-joined — the consumer-facing end of the decontamination
+        pipeline (contamination_spans -> scrub_spans)."""
+        from cassovary_spark.functions import contamination_spans, scrub_spans
+
+        d = docs(spark, sf)
+        spans = contamination_spans(d, d.filter(F.col("doc_id") < 10), n=5)
+        return scrub_spans(d, spans)
+
     def q_emb_cosine_lsh(spark, sf):
         """cosine_top_k's DEFAULT path (queries=None -> LSH-bucketed
         candidates): certifies the scale-default routing end-to-end, not
@@ -1294,7 +1305,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": q_doc_contamination,
         "doc_pack_chunks": q_doc_pack_chunks,
         "doc_contamination_spans": q_doc_contamination_spans,
+        "doc_scrub": q_doc_scrub,
     }
+
+
+# span-level decontamination SQL (doc_contamination_spans, and the spans
+# subquery of the doc_scrub oracle)
+_CONTAM_SPANS_SQL = r"""
+WITH nt AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 3),
+      i -> array_to_string(list_slice(toks, i::INT, i::INT + 4), ' '))) AS gram
+  FROM nt WHERE doc_id < 10 AND len(toks) >= 5
+),
+dgp AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i::INT, i::INT + 4), ' ') AS gram
+  FROM nt, unnest(range(1, len(toks) - 3)) AS t(i)
+  WHERE len(toks) >= 5
+),
+hits AS (
+  SELECT DISTINCT dgp.doc_id, dgp.pos FROM dgp JOIN bg ON dgp.gram = bg.gram
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                  -1000000000) + 5 THEN 1 ELSE 0 END AS new_span
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id, MIN(pos)::BIGINT AS span_start,
+       (MAX(pos) + 5 - MIN(pos))::BIGINT AS span_len,
+       COUNT(*)::BIGINT AS gram_hits
+FROM isl GROUP BY doc_id, island"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1958,41 +2011,33 @@ SELECT doc_id, shard, bin::BIGINT AS bin,
 FROM x""",
         # span-level decontamination: positional 5-gram hits vs docs 0-9,
         # gaps-and-islands merge of [pos, pos+5) windows
-        "doc_contamination_spans": r"""
-WITH nt AS (
+        "doc_contamination_spans": _CONTAM_SPANS_SQL,
+        # apply the spans: drop covered token positions, re-join survivors
+        # (whitespace normalized to single spaces on both engines)
+        "doc_scrub": f"""
+WITH spans AS (SELECT * FROM ({_CONTAM_SPANS_SQL})),
+ot AS (
   SELECT doc_id,
-         list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
-                     x -> x <> '') AS toks
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
   FROM documents
 ),
-bg AS (
-  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 3),
-      i -> array_to_string(list_slice(toks, i::INT, i::INT + 4), ' '))) AS gram
-  FROM nt WHERE doc_id < 10 AND len(toks) >= 5
+ptok AS (
+  SELECT doc_id, i - 1 AS pos, toks[i::INT] AS tok
+  FROM ot, unnest(range(1, len(toks) + 1)) AS t(i)
 ),
-dgp AS (
-  SELECT doc_id, i - 1 AS pos,
-         array_to_string(list_slice(toks, i::INT, i::INT + 4), ' ') AS gram
-  FROM nt, unnest(range(1, len(toks) - 3)) AS t(i)
-  WHERE len(toks) >= 5
-),
-hits AS (
-  SELECT DISTINCT dgp.doc_id, dgp.pos FROM dgp JOIN bg ON dgp.gram = bg.gram
-),
-flagged AS (
-  SELECT doc_id, pos,
-         CASE WHEN pos > COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
-                                  -1000000000) + 5 THEN 1 ELSE 0 END AS new_span
-  FROM hits
-),
-isl AS (
-  SELECT doc_id, pos,
-         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-                             ROWS UNBOUNDED PRECEDING) AS island
-  FROM flagged
+kept AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM ptok p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id
+      AND p.pos >= s.span_start AND p.pos < s.span_start + s.span_len
+  )
 )
-SELECT doc_id, MIN(pos)::BIGINT AS span_start,
-       (MAX(pos) + 5 - MIN(pos))::BIGINT AS span_len,
-       COUNT(*)::BIGINT AS gram_hits
-FROM isl GROUP BY doc_id, island""",
+SELECT d.doc_id, COALESCE(k.txt, '') AS text
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+) k ON k.doc_id = d.doc_id""",
     }

@@ -860,20 +860,26 @@ def contamination_check(
     def norm_toks(tc: str) -> Column:
         return F.filter(F.split(_norm(tc), " "), lambda t: t != "")
 
+    # token arrays are PROJECTED before word_ngrams touches them: HOF
+    # lambdas re-evaluate inlined child expressions per element, so an
+    # inlined norm+split would re-run once per gram — O(len^2) per doc
+    # (measured 5.6s -> 0.6s for the corpus-side explode at sf0.01; same
+    # pitfall as char_shingles). The alias survives CollapseProject
+    # because it is non-cheap and word_ngrams references it twice.
     bg = (
         benchmark.select(
-            F.explode_outer(
-                word_ngrams(norm_toks(benchmark_text_col or text_col), n)
-            ).alias("gram")
+            norm_toks(benchmark_text_col or text_col).alias("__btoks")
         )
+        .select(F.explode_outer(word_ngrams(F.col("__btoks"), n)).alias("gram"))
         .filter(F.col("gram").isNotNull())
         .distinct()
     )
     if broadcast_benchmark:
         bg = F.broadcast(bg)
     dg = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(norm_toks(text_col), n)).alias("gram"),
+        F.col(id_col).alias("doc_id"), norm_toks(text_col).alias("__toks")
+    ).select(
+        "doc_id", F.explode(word_ngrams(F.col("__toks"), n)).alias("gram")
     )
     # join FIRST, distinct AFTER: the broadcast hash join filters corpus
     # grams in their scan partitions, so the only rows that ever shuffle
@@ -932,20 +938,23 @@ def contamination_spans(
     def norm_toks(tc: str) -> Column:
         return F.filter(F.split(_norm(tc), " "), lambda t: t != "")
 
+    # projected token arrays for the same HOF-inlining reason as
+    # contamination_check (O(len^2) otherwise)
     bg = (
         benchmark.select(
-            F.explode_outer(
-                word_ngrams(norm_toks(benchmark_text_col or text_col), n)
-            ).alias("gram")
+            norm_toks(benchmark_text_col or text_col).alias("__btoks")
         )
+        .select(F.explode_outer(word_ngrams(F.col("__btoks"), n)).alias("gram"))
         .filter(F.col("gram").isNotNull())
         .distinct()
     )
     if broadcast_benchmark:
         bg = F.broadcast(bg)
     dg = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(word_ngrams(norm_toks(text_col), n)).alias("pos", "gram"),
+        F.col(id_col).alias("doc_id"), norm_toks(text_col).alias("__toks")
+    ).select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("__toks"), n)).alias("pos", "gram"),
     )
     hits = dg.join(bg, "gram").select("doc_id", "pos").distinct()
 
@@ -975,4 +984,71 @@ def contamination_spans(
             F.count("*").alias("gram_hits"),
         )
         .select("doc_id", "span_start", "span_len", "gram_hits")
+    )
+
+
+def scrub_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply ``contamination_spans`` output: cut the contaminated token
+    windows out of each document. Returns ``(doc_id, text)`` with the
+    tokens inside any span removed and the survivors re-joined with single
+    spaces (inter-token whitespace is normalized — span offsets are indexes
+    into the whitespace tokenization, which collapses runs anyway).
+
+    Token indexes line up with the span offsets because both sides split on
+    whitespace runs: lowercasing (done for gram MATCHING) never moves a
+    token boundary, so position ``i`` of the original split is position
+    ``i`` of the normalized split.
+
+    Physical strategy: spans aggregate to one ``array<struct<s,e>>`` row
+    per contaminated doc (a handful of entries by construction) and join
+    back to the corpus; the cut itself is a JVM-side higher-order filter
+    over the token array — no explode of clean documents, no Python. Docs
+    without spans pass through with only the whitespace normalization."""
+    span_arrs = spans.groupBy(F.col("doc_id")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    (F.col("span_start") + F.col("span_len")).alias("e"),
+                )
+            )
+        ).alias("__spans")
+    )
+    # the token array is materialized as its OWN projection before any
+    # higher-order function touches it: HOF lambdas are interpreted per
+    # element with no subexpression elimination, so an inlined
+    # split+filter would re-run once per token (same measured pitfall as
+    # char_shingles — 20s -> ~2s at sf0.01 for this operator)
+    base = (
+        docs.join(span_arrs, docs[id_col] == span_arrs["doc_id"], "left")
+        .select(
+            docs[id_col].alias("doc_id"),
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias(
+                "__toks"
+            ),
+            "__spans",
+        )
+    )
+    indexed = F.transform(
+        F.col("__toks"),
+        lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            F.col("__spans"), lambda sp: (x["i"] >= sp["s"]) & (x["i"] < sp["e"])
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.when(
+            F.col("__spans").isNull(), F.array_join(F.col("__toks"), " ")
+        )
+        .otherwise(F.array_join(F.transform(kept, lambda x: x["t"]), " "))
+        .alias("text"),
     )

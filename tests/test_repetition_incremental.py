@@ -428,3 +428,32 @@ def test_pack_chunks_tiles_bins_and_reassembles_docs(spark):
             assert off == pos, (key, pieces)
             pos = off + ln
         assert pos <= 64, (key, pieces)
+
+
+def test_scrub_spans_cuts_windows_and_passthrough(spark):
+    """Spans cut exactly their token windows; clean docs pass through with
+    whitespace normalized; empty docs stay empty; fully-covered docs empty."""
+    from cassovary_spark.functions import contamination_spans, scrub_spans
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (100, "intro words here the quick brown fox jumps over the lazy "
+                  "dog tonight more filler text words go here and then the "
+                  "quick brown fox jumps over the lazy dog tonight trailing bits"),
+            (101, "totally   clean document\nwith no overlap"),
+            (102, ""),
+            (103, "the quick brown fox jumps over the lazy dog tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = contamination_spans(docs, bench, n=8)
+    out = {r["doc_id"]: r["text"] for r in scrub_spans(docs, spans).collect()}
+    assert out[100] == ("intro words here more filler text words go here "
+                        "and then trailing bits")
+    assert out[101] == "totally clean document with no overlap"
+    assert out[102] == ""
+    assert out[103] == ""
