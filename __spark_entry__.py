@@ -868,6 +868,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q", "v", F.round("score", 6).alias("score"), "rn"
         )
 
+    def q_emb_ivf_ann(spark, sf):
+        # IVF coarse-quantizer ANN (the second scale path beside LSH).
+        # iters=0 is the oracle configuration: centroids are the
+        # md5-ordered deterministic sample, reproducible in SQL; the
+        # Lloyd-refined path (iters>0) is pytest-certified against a
+        # numpy twin instead.
+        from cassovary_spark.functions import ivf_ann
+
+        return ivf_ann(
+            emb(spark, sf), n_centroids=8, nprobe=3, k=3, iters=0
+        ).select("q", "v", F.round("score", 6).alias("score"), "rn")
+
     def q_multimodal(spark, sf):
         media = with_binary_payload(docs(spark, sf), "doc_id", "text", "image")
         return decode_stub_features(media, feature_dim=8).select(
@@ -1276,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_top3": q_emb_cosine,
         "emb_near_dups": q_emb_near_dups,
         "emb_lsh_ann": q_emb_lsh_ann,
+        "emb_ivf_ann": q_emb_ivf_ann,
         "multimodal_features": q_multimodal,
         "ev_closeness": q_ev_closeness,
         "cs_bipartite2": q_cs_bipartite,
@@ -1508,6 +1521,40 @@ FROM buckets x JOIN buckets y
   ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""",
         "doc_simhash_dups": _simhash_pairs_sql(max_hamming=3),
         "emb_lsh_ann": _lsh_ann_sql(dim=ANN_DIM, k=3),
+        "emb_ivf_ann": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS c FROM e
+         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+pscore AS (
+  SELECT e.vec_id AS id, cent.cid,
+         list_dot_product(e.v, cent.c)
+           / sqrt(list_dot_product(cent.c, cent.c)) AS s
+  FROM e, cent
+),
+ranked AS (
+  SELECT id, cid,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid ASC) AS rn
+  FROM pscore
+),
+assign AS (SELECT id AS v, cid FROM ranked WHERE rn = 1),
+probe AS (SELECT id AS q, cid FROM ranked WHERE rn <= 3),
+cand AS (
+  SELECT DISTINCT p.q, a.v
+  FROM probe p JOIN assign a ON a.cid = p.cid WHERE p.q <> a.v
+),
+scored AS (
+  SELECT c.q, c.v,
+         list_dot_product(x.v, y.v)
+           / (sqrt(list_dot_product(x.v, x.v))
+              * sqrt(list_dot_product(y.v, y.v))) AS score
+  FROM cand c JOIN e x ON x.vec_id = c.q JOIN e y ON y.vec_id = c.v
+),
+rk AS (
+  SELECT q, v, score,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, v ASC) AS rn
+  FROM scored
+)
+SELECT q, v, ROUND(score, 6) AS score, rn::INT AS rn FROM rk WHERE rn <= 3""",
         "multimodal_features": """
 SELECT doc_id::BIGINT AS media_id,
        COALESCE(octet_length(encode(text)), 0)::BIGINT AS n_bytes

@@ -233,6 +233,197 @@ def lsh_bucketed_ann(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer centroids: ``(cid, centroid: array<double>)``.
+
+    Initial centroids are a deterministic md5-ordered sample of the input
+    vectors (the engine's replayable-RNG contract: ``ORDER BY
+    md5(cast(id as string)), id LIMIT n``), with ``cid`` = the sampled
+    row's id — stable across engines, so a SQL oracle can reproduce the
+    ``iters=0`` configuration exactly. ``iters`` > 0 runs Lloyd rounds
+    (assign by max-cosine, recompute centroids as per-list means); each
+    round is one bounded aggregation over the table (posexplode →
+    per-(cid, pos) avg → array rebuild), never all-pairs.
+
+    Scale: n_centroids is small by IVF design (10^2-10^5 lists even at
+    10^9 vectors), so the centroid frame always broadcasts."""
+    e = embeddings.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("centroid"),
+    )
+    cent = (
+        e.orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_centroids)
+    )
+    for _ in range(iters):
+        assign = ivf_assign(
+            embeddings, cent, id_col=id_col, vec_col=vec_col
+        )
+        vecs = embeddings.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        cent = (
+            assign.join(vecs, "id")
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+    return cent
+
+
+def _collect_centroids(centroids: DataFrame) -> list:
+    rows = centroids.select("cid", "centroid").collect()
+    if len(rows) > 65536:
+        raise ValueError(
+            f"ivf: {len(rows)} centroids exceed the driver-literal bound; "
+            "IVF list counts are 10^2-10^5 by design — reduce n_centroids"
+        )
+    return sorted((r["cid"], list(r["centroid"])) for r in rows)
+
+
+def _nearest_centroids(
+    vec: Column, cents: list, nprobe: int
+) -> Column:
+    """Array of the ``nprobe`` centroid ids nearest (max cosine) to ``vec``,
+    best first, ties to smaller cid. Centroids are baked into the plan as
+    literals (they are driver-small by IVF design), so this is a pure
+    map-side Catalyst expression — no join, no shuffle, codegen'd.
+
+    The per-centroid score is computed once into an array of structs and
+    sorted; struct order (-score, cid) gives the deterministic tie-break."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -_dot(vec, F.array(*[F.lit(x) for x in c]))
+                    / F.sqrt(F.lit(sum(x * x for x in c)))
+                ).alias("negscore"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, c in cents
+        ]
+    )
+    return F.slice(
+        F.transform(F.array_sort(scored), lambda s: s["cid"]), 1, nprobe
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine: ``(id, cid)``.
+
+    The centroid table is collected (bounded — see _collect_centroids) and
+    baked into the plan as literals, so assignment is one shuffle-free map
+    over the table: each row evaluates n_centroids JVM-side dot products
+    and takes the argmax. No crossJoin, no groupBy — at 10^9 rows the
+    cost is a single scan. Note vector norms cancel in the argmax, so only
+    centroid norms are applied."""
+    cents = _collect_centroids(centroids)
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.element_at(
+            _nearest_centroids(F.col(vec_col), cents, 1), 1
+        ).alias("cid"),
+    )
+
+
+def ivf_ann(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k cosine neighbors: ``(q, v, score, rn)``.
+
+    The inverted-file ANN (the second scale path beside hyperplane LSH):
+    vectors are partitioned into n_centroids lists by nearest centroid;
+    a query probes only its ``nprobe`` nearest lists and scores exact
+    cosine within them. Recall misses are neighbors whose list was not
+    probed — raise nprobe (recall) or n_centroids (smaller lists, faster
+    probes). sqrt(n)-ish sweet spot: n_centroids ~ sqrt(n), nprobe ~
+    8-64.
+
+    Scale shape mirrors lsh_bucketed_ann: the probe and assignment frames
+    carry IDS ONLY through the candidate join (the list join key is
+    ``cid``), and the wide vectors join in just for final scoring. The
+    candidate join is an equi-join on cid — Catalyst shuffles both sides
+    by cid once; a skewed list (degenerate centroid) is AQE-splittable.
+    Assignment itself is shuffle-free (centroid literals, see
+    ivf_assign)."""
+    cent = centroids if centroids is not None else ivf_centroids(
+        embeddings, n_centroids=n_centroids, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cents = _collect_centroids(cent)
+    assign = embeddings.select(
+        F.col(id_col).alias("v"),
+        F.element_at(
+            _nearest_centroids(F.col(vec_col), cents, 1), 1
+        ).alias("cid"),
+    )
+    q_src = queries if queries is not None else embeddings
+    probe = q_src.select(
+        F.col(id_col).alias("q"),
+        F.explode(
+            _nearest_centroids(F.col(vec_col), cents, nprobe)
+        ).alias("cid"),
+    )
+    cand = (
+        probe.join(assign, "cid")
+        .filter(F.col("q") != F.col("v"))
+        .select("q", "v")
+        .distinct()
+    )
+    x = q_src.select(
+        F.col(id_col).alias("q"), F.col(vec_col).alias("q_emb")
+    ).withColumn("q_norm", _norm2(F.col("q_emb")))
+    y = embeddings.select(
+        F.col(id_col).alias("v"), F.col(vec_col).alias("v_emb")
+    ).withColumn("v_norm", _norm2(F.col("v_emb")))
+    scored = (
+        cand.join(x, "q")
+        .join(y, "v")
+        .select(
+            "q",
+            "v",
+            (
+                _dot(F.col("q_emb"), F.col("v_emb"))
+                / (F.col("q_norm") * F.col("v_norm"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("score"), F.asc("v"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q", "v", "score", "rn")
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

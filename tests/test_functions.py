@@ -428,3 +428,76 @@ def test_pipeline_driver_keys_deterministic(spark):
     e = qs["emb_pipeline"](spark, sf)
     assert e.columns == ["vec_id"]
     assert e.count() == 174
+
+
+def test_ivf_assign_matches_numpy(spark, emb):
+    """ivf_assign's literal-fold argmax (Catalyst) == numpy argmax."""
+    from cassovary_spark.functions import ivf_assign, ivf_centroids
+
+    cent = ivf_centroids(emb, n_centroids=8)
+    crows = sorted((r["cid"], np.array(r["centroid"])) for r in cent.collect())
+    got = {
+        r["id"]: r["cid"]
+        for r in ivf_assign(emb, cent).collect()
+    }
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in emb.collect()}
+    for vid, v in vecs.items():
+        # vector norm cancels in the argmax; ties to smaller cid
+        scores = [(-(np.dot(v, c) / np.linalg.norm(c)), cid) for cid, c in crows]
+        want = min(scores)[1]
+        assert got[vid] == want, vid
+
+
+def test_ivf_lloyd_matches_numpy(spark, emb):
+    """iters>0 Lloyd rounds == the numpy twin (assign by max cosine,
+    centroid = per-list mean), keyed by the stable initial cid."""
+    from cassovary_spark.functions import ivf_centroids
+
+    small = emb.filter(F.col("vec_id") < 120)
+    got = {
+        r["cid"]: np.array(r["centroid"])
+        for r in ivf_centroids(small, n_centroids=4, iters=2).collect()
+    }
+    init = sorted(
+        (r["cid"], np.array(r["centroid"]))
+        for r in ivf_centroids(small, n_centroids=4, iters=0).collect()
+    )
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in small.collect()}
+    cents = init
+    for _ in range(2):
+        lists = {cid: [] for cid, _ in cents}
+        for vid, v in vecs.items():
+            scores = [(-(np.dot(v, c) / np.linalg.norm(c)), cid) for cid, c in cents]
+            lists[min(scores)[1]].append(v)
+        cents = [(cid, np.mean(vs, axis=0)) for cid, vs in lists.items() if vs]
+    for cid, c in cents:
+        assert np.allclose(got[cid], c, atol=1e-9), cid
+
+
+def test_ivf_ann_recall_vs_exact(spark, emb):
+    """Probing all lists = exact recall; fewer probes degrade gracefully."""
+    from cassovary_spark.functions import cosine_top_k, ivf_ann
+
+    exact = {
+        (r["q"], r["v"]) for r in
+        cosine_top_k(emb, emb, k=3, exact=True).filter(F.col("rn") == 1).collect()
+    }
+    full = {
+        (r["q"], r["v"]) for r in
+        ivf_ann(emb, n_centroids=8, nprobe=8, k=3).filter(F.col("rn") == 1).collect()
+    }
+    assert full == exact  # nprobe == n_centroids probes every list
+    # top-1 recall == P(exact top-1's list is probed): monotone in nprobe
+    recall = {}
+    for nprobe in (3, 6):
+        part = {
+            (r["q"], r["v"]) for r in
+            ivf_ann(emb, n_centroids=8, nprobe=nprobe, k=3)
+            .filter(F.col("rn") == 1).collect()
+        }
+        recall[nprobe] = len(part & exact) / len(exact)
+    assert recall[3] >= 0.5
+    assert recall[6] >= recall[3]
+    assert recall[6] >= 0.8
