@@ -1260,6 +1260,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q", "v", F.round("score", 6).alias("score"), "rn"
         )
 
+    def q_ev_kcore(spark, sf):
+        """2-core of the event-transition graph by iterative peeling,
+        distributed-pinned: certifies the shrinking-edge-set superstep
+        (degree agg -> survivor semi-joins) against a DuckDB recursive-CTE
+        peel."""
+        from cassovary_spark.operators import k_core
+
+        return k_core(_ev_edges(spark, sf), k=2, engine="distributed")
+
+    def q_cs_assortativity(spark, sf):
+        """Degree assortativity (Newman 2002) of the customer-supplier
+        graph: Pearson corr of endpoint degrees over the bidirected edge
+        set (the ev graph is near-complete — zero degree variance — so the
+        bipartite cs graph is the informative fixture)."""
+        from cassovary_spark.operators import degree_assortativity
+
+        return degree_assortativity(_cs_edges(spark, sf))
+
+    def q_ev_anf(spark, sf):
+        """Flajolet-Martin neighborhood function (ANF/HyperANF family):
+        NF(t) for t=1..3 via bit-OR supersteps, 4 md5-seeded registers —
+        deterministic, so the DuckDB oracle replays the sketch
+        bit-for-bit."""
+        from cassovary_spark.operators import neighborhood_function
+
+        return neighborhood_function(_ev_edges(spark, sf), iterations=3, registers=4)
+
+    def q_doc_dsir(spark, sf):
+        """DSIR-style importance weights: docs whose md5 lands in bucket 0
+        of 10 stand in for the target domain; every corpus doc scores its
+        hashed (uni+bi)gram distribution against target vs corpus."""
+        from cassovary_spark.functions import dsir_weights
+
+        d = docs(spark, sf)
+        tgt = d.filter(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+            .cast("long") % 10 == 0
+        )
+        return dsir_weights(d, tgt, buckets=256)
+
     return {
         "cs_edges": q_cs_edges,
         "ev_edges": q_ev_edges,
@@ -1319,6 +1359,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_chunks": q_doc_pack_chunks,
         "doc_contamination_spans": q_doc_contamination_spans,
         "doc_scrub": q_doc_scrub,
+        "ev_kcore": q_ev_kcore,
+        "cs_assortativity": q_cs_assortativity,
+        "ev_anf": q_ev_anf,
+        "doc_dsir": q_doc_dsir,
     }
 
 
@@ -1361,6 +1405,115 @@ SELECT doc_id, MIN(pos)::BIGINT AS span_start,
        (MAX(pos) + 5 - MIN(pos))::BIGINT AS span_len,
        COUNT(*)::BIGINT AS gram_hits
 FROM isl GROUP BY doc_id, island"""
+
+
+def _kcore_sql(edges_sql: str, k: int, cap: int = 30) -> str:
+    """Iterative peel as a UNION ALL recursive CTE: level t+1 keeps vertices
+    with >= k surviving neighbors among level t. Levels repeat verbatim once
+    the fixpoint is reached, so `iter = cap` IS the k-core — and if the core
+    is EMPTY the recursion dies early and level cap has no rows (also
+    correct). Requires only that peeling converges within `cap` rounds."""
+    # NOTE: inside WITH RECURSIVE, DuckDB does NOT dedup a two-branch UNION
+    # in a non-recursive sibling CTE (it parses as anchor/recursive form);
+    # the DISTINCT-over-UNION-ALL spelling is required for correct degrees
+    return f"""
+WITH RECURSIVE edges AS ({edges_sql}),
+und AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM edges WHERE src <> dst
+          UNION ALL SELECT dst, src FROM edges WHERE src <> dst)),
+lev(iter, id, degree) AS (
+  SELECT 0, src, count(*) FROM und GROUP BY src HAVING count(*) >= {k}
+  UNION ALL
+  SELECT l.iter + 1, u.src, count(*)
+  FROM und u
+  JOIN lev l ON l.id = u.src
+  JOIN lev l2 ON l2.id = u.dst AND l2.iter = l.iter
+  WHERE l.iter < {cap}
+  GROUP BY l.iter, u.src
+  HAVING count(*) >= {k}
+)
+SELECT id, degree::BIGINT AS degree FROM lev WHERE iter = {cap}"""
+
+
+def _anf_sql(edges_sql: str, registers: int = 4, iterations: int = 3) -> str:
+    """Unrolled Flajolet-Martin neighborhood function — the bit-for-bit twin
+    of operators/anf.neighborhood_function (same md5-long register hashes,
+    same bit_or gather, same lowest-unset-bit estimator)."""
+    R, PHI, MAXPOS = registers, 0.77351, 50
+    init = []
+    for r in range(R):
+        h = f"('0x' || substr(md5(concat('anf{r}|', CAST(id AS VARCHAR))), 1, 13))::BIGINT"
+        pos = f"least(bit_count(({h} & -({h})) - 1), {MAXPOS})"
+        init.append(f"(1::BIGINT << {pos}) AS b{r}")
+    orcols = ", ".join(f"(p.b{r} | coalesce(g.g{r}, 0)) AS b{r}" for r in range(R))
+    bor = ", ".join(f"bit_or(s.b{r}) AS g{r}" for r in range(R))
+    mean_idx = (
+        "("
+        + " + ".join(
+            f"CAST(bit_count(((~b{r}) & (b{r} + 1)) - 1) AS DOUBLE)" for r in range(R)
+        )
+        + f") / {R}.0"
+    )
+    sql = f"""
+WITH edges AS ({edges_sql}),
+und AS (SELECT src, dst FROM edges WHERE src <> dst
+        UNION SELECT dst, src FROM edges WHERE src <> dst),
+verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+s0 AS (SELECT id, {", ".join(init)} FROM verts)"""
+    prev, nf_terms = "s0", []
+    for t in range(1, iterations + 1):
+        sql += f""",
+g{t} AS (SELECT u.src AS id, {bor} FROM und u JOIN {prev} s ON s.id = u.dst
+         GROUP BY u.src),
+s{t} AS (SELECT p.id, {orcols} FROM {prev} p LEFT JOIN g{t} g ON p.id = g.id)"""
+        nf_terms.append(
+            f"SELECT {t}::INT AS t, round(sum(pow(2.0, {mean_idx}) / {PHI}), 4) AS nf"
+            f" FROM s{t}"
+        )
+        prev = f"s{t}"
+    return sql + "\n" + " UNION ALL ".join(nf_terms)
+
+
+_DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_concat(tk,
+    CASE WHEN len(tk) >= 2
+         THEN list_transform(range(1, len(tk)),
+                             i -> tk[i::INT] || ' ' || tk[(i + 1)::INT])
+         ELSE [] END)) AS gram
+  FROM toks
+),
+b AS (SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 13))::BIGINT % 256 AS bucket
+      FROM grams),
+tgt AS (SELECT doc_id FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 10 = 0),
+tb AS (SELECT b.bucket FROM b JOIN tgt USING (doc_id)),
+ratio AS (
+  SELECT r.range AS bucket,
+         ln((coalesce(tc.n, 0) + 1.0) / ((SELECT count(*) FROM tb) + 256.0))
+       - ln((coalesce(cc.n, 0) + 1.0) / ((SELECT count(*) FROM b) + 256.0))
+         AS log_ratio
+  FROM range(256) r
+  LEFT JOIN (SELECT bucket, count(*) AS n FROM tb GROUP BY bucket) tc
+         ON tc.bucket = r.range
+  LEFT JOIN (SELECT bucket, count(*) AS n FROM b GROUP BY bucket) cc
+         ON cc.bucket = r.range
+),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_grams,
+         round(sum(ratio.log_ratio), 6) AS log_weight
+  FROM b JOIN ratio ON ratio.bucket = b.bucket GROUP BY b.doc_id
+)
+SELECT d.doc_id, coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(s.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2087,4 +2240,14 @@ LEFT JOIN (
   SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
   FROM kept GROUP BY doc_id
 ) k ON k.doc_id = d.doc_id""",
+        "ev_kcore": _kcore_sql(EV_EDGES_SQL, k=2, cap=30),
+        "cs_assortativity": f"""
+WITH edges AS ({CS_EDGES_SQL}),
+und AS (SELECT src, dst FROM edges WHERE src <> dst
+        UNION SELECT dst, src FROM edges WHERE src <> dst),
+deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src)
+SELECT round(corr(d1.d, d2.d), 6) AS assortativity
+FROM und u JOIN deg d1 ON u.src = d1.id JOIN deg d2 ON u.dst = d2.id""",
+        "ev_anf": _anf_sql(EV_EDGES_SQL, registers=4, iterations=3),
+        "doc_dsir": _DSIR_SQL,
     }

@@ -13,6 +13,9 @@ from cassovary_spark.operators.similarity import (
     cosine_similarity_top_k,
 )
 from cassovary_spark.operators.mutual import mutual_edge_count
+from cassovary_spark.operators.kcore import k_core
+from cassovary_spark.operators.stats import degree_assortativity, degree_distribution
+from cassovary_spark.operators.anf import neighborhood_function
 from cassovary_spark.operators.bipartite import bipartite_link_analysis, BipartiteAnalysis
 from cassovary_spark.operators.node_ops import (
     neighbor_lists,
@@ -52,6 +55,10 @@ __all__ = [
     "jaccard_similarity_top_k",
     "cosine_similarity_top_k",
     "mutual_edge_count",
+    "k_core",
+    "degree_assortativity",
+    "degree_distribution",
+    "neighborhood_function",
     "bipartite_link_analysis",
     "BipartiteAnalysis",
     "bfs",

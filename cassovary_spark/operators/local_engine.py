@@ -181,6 +181,36 @@ def connected_components_numpy(ids: np.ndarray, si: np.ndarray, di: np.ndarray):
     return ids[comp]
 
 
+def k_core_numpy(ids: np.ndarray, si: np.ndarray, di: np.ndarray, k: int):
+    """Iterative peeling twin of operators/kcore.k_core: drop vertices with
+    undirected degree < k until fixpoint; returns (core_ids, core_degrees,
+    iterations) with degrees measured inside the final core subgraph."""
+    n = len(ids)
+    # undirected dedup'd edge ends, self-loops dropped (graph.mutualize)
+    keep = si != di
+    lo = np.minimum(si[keep], di[keep]).astype(np.int64)
+    hi = np.maximum(si[keep], di[keep]).astype(np.int64)
+    pair = np.unique(lo * n + hi)
+    ea, eb = pair // n, pair % n
+    alive_edge = np.ones(len(ea), dtype=bool)
+    iters = 0
+    prev_alive = -1
+    deg = np.zeros(n, dtype=np.int64)
+    while True:
+        deg[:] = 0
+        np.add.at(deg, ea[alive_edge], 1)
+        np.add.at(deg, eb[alive_edge], 1)
+        surv = deg >= k
+        iters += 1
+        n_alive = int(surv.sum())
+        if n_alive == 0 or n_alive == prev_alive:
+            break
+        prev_alive = n_alive
+        alive_edge &= surv[ea] & surv[eb]
+    core = np.flatnonzero(surv)
+    return ids[core], deg[core], iters
+
+
 def label_propagation_numpy(
     ids: np.ndarray,
     si: np.ndarray,
