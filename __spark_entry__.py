@@ -1287,6 +1287,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return neighborhood_function(_ev_edges(spark, sf), iterations=3, registers=4)
 
+    def q_ev_harmonic(spark, sf):
+        """HyperBall harmonic centrality (3-hop truncation) — per-vertex
+        geometric centrality from the same FM sketches as ev_anf; the
+        DuckDB oracle replays sketches and the left-associated
+        delta/t accumulation bit-for-bit."""
+        from cassovary_spark.operators import harmonic_centrality_sketch
+
+        return harmonic_centrality_sketch(
+            _ev_edges(spark, sf), iterations=3, registers=4
+        )
+
     def q_doc_dsir(spark, sf):
         """DSIR-style importance weights: docs whose md5 lands in bucket 0
         of 10 stand in for the target domain; every corpus doc scores its
@@ -1362,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_kcore": q_ev_kcore,
         "cs_assortativity": q_cs_assortativity,
         "ev_anf": q_ev_anf,
+        "ev_harmonic": q_ev_harmonic,
         "doc_dsir": q_doc_dsir,
     }
 
@@ -1472,6 +1484,53 @@ s{t} AS (SELECT p.id, {orcols} FROM {prev} p LEFT JOIN g{t} g ON p.id = g.id)"""
         )
         prev = f"s{t}"
     return sql + "\n" + " UNION ALL ".join(nf_terms)
+
+
+def _harmonic_sql(edges_sql: str, registers: int = 4, iterations: int = 3) -> str:
+    """Unrolled HyperBall harmonic centrality — per-vertex twin of
+    operators/anf.harmonic_centrality_sketch (same sketches as _anf_sql;
+    the delta/t accumulation mirrors Spark's left-associated order)."""
+    R, PHI, MAXPOS = registers, 0.77351, 50
+    init = []
+    for r in range(R):
+        h = f"('0x' || substr(md5(concat('anf{r}|', CAST(id AS VARCHAR))), 1, 13))::BIGINT"
+        pos = f"least(bit_count(({h} & -({h})) - 1), {MAXPOS})"
+        init.append(f"(1::BIGINT << {pos}) AS b{r}")
+    orcols = ", ".join(f"(p.b{r} | coalesce(g.g{r}, 0)) AS b{r}" for r in range(R))
+    bor = ", ".join(f"bit_or(s.b{r}) AS g{r}" for r in range(R))
+
+    def est(prefix: str) -> str:
+        mean = (
+            "("
+            + " + ".join(
+                f"CAST(bit_count(((~{prefix}.b{r}) & ({prefix}.b{r} + 1)) - 1)"
+                f" AS DOUBLE)"
+                for r in range(R)
+            )
+            + f") / {R}.0"
+        )
+        return f"(pow(2.0, {mean}) / {PHI})"
+
+    sql = f"""
+WITH edges AS ({edges_sql}),
+und AS (SELECT src, dst FROM edges WHERE src <> dst
+        UNION SELECT dst, src FROM edges WHERE src <> dst),
+verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+s0 AS (SELECT id, {", ".join(init)} FROM verts)"""
+    prev = "s0"
+    for t in range(1, iterations + 1):
+        sql += f""",
+g{t} AS (SELECT u.src AS id, {bor} FROM und u JOIN {prev} s ON s.id = u.dst
+         GROUP BY u.src),
+s{t} AS (SELECT p.id, {orcols} FROM {prev} p LEFT JOIN g{t} g ON p.id = g.id)"""
+        prev = f"s{t}"
+    acc = "0.0"
+    for t in range(1, iterations + 1):
+        acc = f"({acc} + ({est(f's{t}')} - {est(f's{t-1}')}) / {t}.0)"
+    joins = " ".join(f"JOIN s{t} ON s{t}.id = s0.id" for t in range(1, iterations + 1))
+    return sql + f"""
+SELECT s0.id, round({acc}, 6) AS harmonic
+FROM s0 {joins}"""
 
 
 _DSIR_SQL = r"""
@@ -2249,5 +2308,6 @@ deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src)
 SELECT round(corr(d1.d, d2.d), 6) AS assortativity
 FROM und u JOIN deg d1 ON u.src = d1.id JOIN deg d2 ON u.dst = d2.id""",
         "ev_anf": _anf_sql(EV_EDGES_SQL, registers=4, iterations=3),
+        "ev_harmonic": _harmonic_sql(EV_EDGES_SQL, registers=4, iterations=3),
         "doc_dsir": _DSIR_SQL,
     }

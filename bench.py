@@ -223,6 +223,25 @@ def build_workloads(spark, sf_dir: str, sf: float):
         )
         q.awaitTermination(300)
 
+    def w_anf_turns():
+        from cassovary_spark.operators import neighborhood_function
+
+        nf = neighborhood_function(tedges, iterations=3, registers=4)
+        aux["anf_turns_3"] = {
+            "edges": m_turn,
+            "nf": {r.t: r.nf for r in nf.collect()},
+        }
+
+    def w_dsir_docs():
+        from cassovary_spark.functions import dsir_weights
+
+        tgt = docs.filter(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+            .cast("long") % 10 == 0
+        )
+        out = dsir_weights(docs, tgt)
+        aux["dsir_docs"] = {"docs": out.count()}
+
     return [
         ("pagerank_turns_1e6", w_pagerank_turns),
         ("pagerank_cs_1e6", w_pagerank_cs),
@@ -240,6 +259,8 @@ def build_workloads(spark, sf_dir: str, sf: float):
         ("bipartite_cs_4", w_bipartite_cs),
         ("walk_tourists_10k", w_walk_tourists),
         ("stream_edges_incremental", w_stream_edges),
+        ("anf_turns_3", w_anf_turns),
+        ("dsir_docs", w_dsir_docs),
     ], aux
 
 

@@ -16,6 +16,7 @@ See SURVEY.md for the reference analysis and the operator inventory.
 """
 
 from cassovary_spark.session import get_spark
+from cassovary_spark.server import CassovarySparkServer
 from cassovary_spark.dynamic import DynamicGraph
 from cassovary_spark.labels import (
     read_labels,
@@ -42,6 +43,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "get_spark",
+    "CassovarySparkServer",
     "normalize_edges",
     "vertices_of",
     "out_degrees",

@@ -15,7 +15,10 @@ from cassovary_spark.operators.similarity import (
 from cassovary_spark.operators.mutual import mutual_edge_count
 from cassovary_spark.operators.kcore import k_core
 from cassovary_spark.operators.stats import degree_assortativity, degree_distribution
-from cassovary_spark.operators.anf import neighborhood_function
+from cassovary_spark.operators.anf import (
+    harmonic_centrality_sketch,
+    neighborhood_function,
+)
 from cassovary_spark.operators.bipartite import bipartite_link_analysis, BipartiteAnalysis
 from cassovary_spark.operators.node_ops import (
     neighbor_lists,
@@ -59,6 +62,7 @@ __all__ = [
     "degree_assortativity",
     "degree_distribution",
     "neighborhood_function",
+    "harmonic_centrality_sketch",
     "bipartite_link_analysis",
     "BipartiteAnalysis",
     "bfs",

@@ -1,9 +1,13 @@
-"""Approximate neighborhood function via Flajolet-Martin bit-OR supersteps
-(the HyperANF/ANF family: Palmer-Gibbons-Faloutsos "ANF" KDD'02,
-Boldi-Rosa-Vigna "HyperANF" WWW'11).
+"""Approximate neighborhood function + harmonic centrality via
+Flajolet-Martin bit-OR supersteps (the ANF/HyperANF/HyperBall family:
+Palmer-Gibbons-Faloutsos "ANF" KDD'02, Boldi-Rosa-Vigna "HyperANF" WWW'11,
+Boldi-Vigna "In-Core Computation of Geometric Centralities with HyperBall"
+ICDMW'13).
 
 NF(t) = sum over vertices v of |{u : dist(v,u) <= t}| — the curve behind
-effective-diameter and average-distance estimates. Exact computation is
+effective-diameter and average-distance estimates; harmonic centrality
+H(v) = sum over u != v of 1/dist(v,u) falls out of the same sketches as
+sum over t of (|ball_t(v)| - |ball_{t-1}(v)|) / t. Exact computation is
 all-pairs BFS (O(V*E)); the sketch version keeps one tiny FM bitmask per
 vertex per register and grows it with ONE bit_or gather per superstep —
 the same co-partitioned edge join as a PageRank superstep, with 8*R bytes
@@ -16,13 +20,15 @@ so the DuckDB oracle replays the identical sketch bit-for-bit; there is no
 RNG, and results are independent of partitioning.
 
 Reference tie-in: the reference estimates reachability volumes by running
-bounded BFS per node (graph/Traverser.scala:426); this operator is the
-all-sources-at-once scale path for the same question.
+bounded BFS per node (graph/Traverser.scala:426) and ships exact
+closeness centrality (algorithms/centrality/ClosenessCentrality.scala);
+these operators are the all-sources-at-once scale path for the same
+questions.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cassovary_spark.checkpoint import StateScratch
@@ -40,6 +46,53 @@ def _md5long(col):
     return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
 
 
+def _init_sketch_cols(registers: int) -> list[Column]:
+    """Initial sketch per register: one bit at the FM position of the
+    register-salted vertex hash. lowest-set-bit index of h is
+    bit_count((h & -h) - 1); capped at _MAX_POS. Built as SQL exprs
+    because shiftleft()'s bit count must be a column-derived value."""
+    cols = []
+    for r in range(registers):
+        h = (
+            "CAST(conv(substring(md5(concat('anf" + str(r) + "|', "
+            "CAST(id AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+        )
+        pos = f"least(bit_count(({h} & -{h}) - 1), {_MAX_POS})"
+        cols.append(F.expr(f"shiftleft(CAST(1 AS BIGINT), {pos})").alias(f"b{r}"))
+    return cols
+
+
+def _est_col(registers: int) -> Column:
+    """Per-vertex ball-size estimate: 2^(mean over registers of the lowest
+    UNSET bit index of the sketch) / phi."""
+    idx_cols = [
+        F.bit_count(
+            (F.bitwise_not(F.col(f"b{r}")).bitwiseAND(F.col(f"b{r}") + F.lit(1)))
+            - F.lit(1)
+        ).cast("double")
+        for r in range(registers)
+    ]
+    mean_idx = sum(idx_cols[1:], idx_cols[0]) / float(registers)
+    return F.pow(F.lit(2.0), mean_idx) / F.lit(_FM_PHI)
+
+
+def _gather_step(und, state, regs):
+    """One bit-OR superstep: OR each vertex's sketch with its neighbors'."""
+    gathered = (
+        und.hint("merge")
+        .join(state.select(F.col("id").alias("dst"), *[f"b{r}" for r in regs]), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(*[F.bit_or(f"b{r}").alias(f"g{r}") for r in regs])
+    )
+    merged = [
+        (
+            F.col(f"b{r}").bitwiseOR(F.coalesce(F.col(f"g{r}"), F.lit(0).cast("long")))
+        ).alias(f"b{r}")
+        for r in regs
+    ]
+    return state.join(gathered, "id", "left"), merged
+
+
 def neighborhood_function(
     edges: DataFrame,
     iterations: int = 3,
@@ -48,10 +101,7 @@ def neighborhood_function(
 ) -> DataFrame:
     """``(t, nf)`` for t = 1..iterations: the estimated number of (ordered)
     vertex pairs within distance t on the undirected closure, including
-    the trivial pair (v, v).
-
-    Per-vertex estimate at each t = 2^(mean over registers of the lowest
-    UNSET bit index of the OR'd sketch) / phi; NF(t) sums these."""
+    the trivial pair (v, v)."""
     spark = edges.sparkSession
     from cassovary_spark.plans import choose_partitions, superstep_conf
 
@@ -59,63 +109,23 @@ def neighborhood_function(
     p = choose_partitions(spark, m0, num_partitions)
     und = mutualize(edges).repartition(p, "dst").sortWithinPartitions("dst").persist()
     verts = vertices_of(edges)
-
     regs = list(range(registers))
-    # initial sketch per register: one bit at the FM position of the
-    # register-salted vertex hash. lowest-set-bit index of h is
-    # bit_count((h & -h) - 1); capped at _MAX_POS. Built as SQL exprs
-    # because shiftleft()'s bit count must be a column-derived value.
-    init_cols = []
-    for r in regs:
-        h = (
-            "CAST(conv(substring(md5(concat('anf" + str(r) + "|', "
-            "CAST(id AS STRING))), 1, 13), 16, 10) AS BIGINT)"
-        )
-        pos = f"least(bit_count(({h} & -{h}) - 1), {_MAX_POS})"
-        init_cols.append(F.expr(f"shiftleft(CAST(1 AS BIGINT), {pos})").alias(f"b{r}"))
 
     scratch = StateScratch(spark)
     out_rows = []
     try:
       with superstep_conf(spark, p, m0):
         state = scratch.roundtrip(
-            verts.select("id", *init_cols).repartition(p, "id"),
+            verts.select("id", *_init_sketch_cols(registers)).repartition(p, "id"),
             bucket_by="id", num_buckets=p,
         )
         for t in range(1, iterations + 1):
-            gathered = (
-                und.hint("merge")
-                .join(state.withColumnRenamed("id", "dst"), "dst")
-                .groupBy(F.col("src").alias("id"))
-                .agg(*[F.bit_or(f"b{r}").alias(f"g{r}") for r in regs])
-            )
+            joined, merged = _gather_step(und, state, regs)
             state = scratch.roundtrip(
-                state.join(gathered, "id", "left").select(
-                    "id",
-                    *[
-                        (
-                            F.col(f"b{r}").bitwiseOR(
-                                F.coalesce(F.col(f"g{r}"), F.lit(0).cast("long"))
-                            )
-                        ).alias(f"b{r}")
-                        for r in regs
-                    ],
-                ),
-                bucket_by="id", num_buckets=p,
+                joined.select("id", *merged), bucket_by="id", num_buckets=p
             )
-            # lowest UNSET bit index of b: bit_count((~b & (b+1)) - 1)
-            idx_cols = [
-                F.bit_count(
-                    (F.bitwise_not(F.col(f"b{r}")).bitwiseAND(F.col(f"b{r}") + F.lit(1)))
-                    - F.lit(1)
-                ).cast("double")
-                for r in regs
-            ]
-            mean_idx = sum(idx_cols[1:], idx_cols[0]) / float(registers)
             nf = (
-                state.select(
-                    (F.pow(F.lit(2.0), mean_idx) / F.lit(_FM_PHI)).alias("est")
-                )
+                state.select(_est_col(registers).alias("est"))
                 .agg(F.round(F.sum("est"), 4).alias("nf"))
                 .first()[0]
             )
@@ -124,3 +134,62 @@ def neighborhood_function(
         scratch.close()
         und.unpersist()
     return spark.createDataFrame(out_rows, "t int, nf double")
+
+
+def harmonic_centrality_sketch(
+    edges: DataFrame,
+    iterations: int = 3,
+    registers: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """HyperBall harmonic centrality, truncated at ``iterations`` hops:
+    ``(id, harmonic)`` where harmonic = sum over t of
+    (est_t(v) - est_{t-1}(v)) / t on the undirected closure — the sketch
+    estimate of sum over u != v within `iterations` hops of 1/dist(v, u).
+
+    Same supersteps and state as neighborhood_function plus two doubles
+    per vertex (previous estimate + running harmonic sum); the exact
+    small-graph counterpart is operators.centrality.closeness_centrality
+    (reference ClosenessCentrality.scala)."""
+    spark = edges.sparkSession
+    from cassovary_spark.plans import choose_partitions, superstep_conf
+
+    m0 = edges.count()
+    p = choose_partitions(spark, m0, num_partitions)
+    und = mutualize(edges).repartition(p, "dst").sortWithinPartitions("dst").persist()
+    verts = vertices_of(edges)
+    regs = list(range(registers))
+
+    scratch = StateScratch(spark)
+    try:
+      with superstep_conf(spark, p, m0):
+        state = scratch.roundtrip(
+            verts.select("id", *_init_sketch_cols(registers))
+            .withColumn("prev_est", _est_col(registers))
+            .withColumn("harmonic", F.lit(0.0))
+            .repartition(p, "id"),
+            bucket_by="id", num_buckets=p,
+        )
+        for t in range(1, iterations + 1):
+            joined, merged = _gather_step(und, state, regs)
+            est = _est_col(registers)
+            state = scratch.roundtrip(
+                joined.select("id", *merged, "prev_est", "harmonic")
+                .withColumn("est", est)
+                .select(
+                    "id",
+                    *[f"b{r}" for r in regs],
+                    F.col("est").alias("prev_est"),
+                    (
+                        F.col("harmonic")
+                        + (F.col("est") - F.col("prev_est")) / F.lit(float(t))
+                    ).alias("harmonic"),
+                ),
+                bucket_by="id", num_buckets=p,
+            )
+        result = state.select("id", F.round("harmonic", 6).alias("harmonic"))
+        result = result.localCheckpoint(eager=True)
+    finally:
+        scratch.close()
+        und.unpersist()
+    return result

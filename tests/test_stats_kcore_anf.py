@@ -99,6 +99,31 @@ def test_anf_grows_on_path(spark):
     assert nf[3] > nf[1]  # a path keeps discovering new vertices each hop
 
 
+def test_harmonic_sketch_saturates_on_clique(spark):
+    # clique: every pair at distance 1, so deltas vanish after t=1 and
+    # truncation depth stops mattering
+    from cassovary_spark.operators import harmonic_centrality_sketch
+
+    n = 6
+    edges = edges_df(spark, [(a, b) for a in range(n) for b in range(n) if a != b])
+    h1 = {r.id: r.harmonic for r in harmonic_centrality_sketch(edges, 1).collect()}
+    h3 = {r.id: r.harmonic for r in harmonic_centrality_sketch(edges, 3).collect()}
+    assert h1 == h3
+    assert all(v >= 0 for v in h1.values())
+
+
+def test_harmonic_sketch_path_center_beats_ends(spark):
+    # on a path, interior vertices reach more vertices at short distance;
+    # averaged over vertices the FM noise cancels enough to compare sums
+    from cassovary_spark.operators import harmonic_centrality_sketch
+
+    edges = edges_df(spark, [(i, i + 1) for i in range(30)])
+    h = {r.id: r.harmonic for r in harmonic_centrality_sketch(edges, 3, registers=8).collect()}
+    mid = sum(h[i] for i in range(10, 21)) / 11
+    ends = (h[0] + h[30]) / 2
+    assert mid > ends
+
+
 def test_dsir_weights_prefer_target_like_docs(spark):
     target_words = "alpha beta gamma delta"
     other_words = "omega psi chi phi"
