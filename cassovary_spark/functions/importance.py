@@ -58,9 +58,15 @@ def dsir_weights(
     t_grams = _hashed_grams(target, text_col, id_col, buckets)
 
     # 256-row ratio table; outer-join the two distributions so buckets seen
-    # in only one side still score (smoothing gives the absent side mass)
-    t_total = t_grams.count()
-    c_total = c_grams.count()
+    # in only one side still score (smoothing gives the absent side mass).
+    # Totals are whole-frame window sums over the 256-row table — fully
+    # lazy, no driver-side count() actions, one job for the whole ratio
+    # computation when the broadcast materializes.
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     all_buckets = corpus.sparkSession.range(buckets).select(F.col("id").alias("bucket"))
     ratios = (
         all_buckets.join(
@@ -69,14 +75,19 @@ def dsir_weights(
         .join(c_grams.groupBy("bucket").agg(F.count("*").alias("cn")), "bucket", "left")
         .select(
             "bucket",
+            F.coalesce(F.col("tn"), F.lit(0)).alias("tn"),
+            F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+        )
+        .select(
+            "bucket",
             (
                 F.log(
-                    (F.coalesce(F.col("tn"), F.lit(0)) + F.lit(smoothing))
-                    / F.lit(t_total + smoothing * buckets)
+                    (F.col("tn") + F.lit(smoothing))
+                    / (F.sum("tn").over(whole) + F.lit(smoothing * buckets))
                 )
                 - F.log(
-                    (F.coalesce(F.col("cn"), F.lit(0)) + F.lit(smoothing))
-                    / F.lit(c_total + smoothing * buckets)
+                    (F.col("cn") + F.lit(smoothing))
+                    / (F.sum("cn").over(whole) + F.lit(smoothing * buckets))
                 )
             ).alias("log_ratio"),
         )

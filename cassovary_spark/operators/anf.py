@@ -120,16 +120,20 @@ def neighborhood_function(
             bucket_by="id", num_buckets=p,
         )
         for t in range(1, iterations + 1):
+            from pyspark.sql import Observation
+
             joined, merged = _gather_step(und, state, regs)
+            # NF(t) rides the state write as an observed aggregate — one
+            # job per superstep, no separate estimate pass (same policy as
+            # pagerank's dangling mass / CC's convergence sum)
+            obs = Observation()
             state = scratch.roundtrip(
-                joined.select("id", *merged), bucket_by="id", num_buckets=p
+                joined.select("id", *merged).observe(
+                    obs, F.round(F.sum(_est_col(registers)), 4).alias("nf")
+                ),
+                bucket_by="id", num_buckets=p,
             )
-            nf = (
-                state.select(_est_col(registers).alias("est"))
-                .agg(F.round(F.sum("est"), 4).alias("nf"))
-                .first()[0]
-            )
-            out_rows.append((t, float(nf)))
+            out_rows.append((t, float(obs.get["nf"])))
     finally:
         scratch.close()
         und.unpersist()
