@@ -1311,6 +1311,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dsir_weights(d, tgt, buckets=256)
 
+    def q_ev_effdiam(spark, sf):
+        """q=0.9 effective diameter off the FM NF curve (HyperANF's
+        headline output) — oracle replays sketches AND interpolation."""
+        from cassovary_spark.operators import effective_diameter
+
+        return effective_diameter(_ev_edges(spark, sf), q=0.9, iterations=3)
+
+    def q_doc_dsir_select(spark, sf):
+        """DSIR's selection stage: Gumbel-top-k over the importance
+        weights (md5-seeded draws — deterministic, so the oracle replays
+        the exact perturbed ranking)."""
+        from cassovary_spark.functions import dsir_select
+
+        d = docs(spark, sf)
+        tgt = d.filter(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+            .cast("long") % 10 == 0
+        )
+        return dsir_select(d, tgt, k=50, buckets=256)
+
     return {
         "cs_edges": q_cs_edges,
         "ev_edges": q_ev_edges,
@@ -1375,6 +1395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_anf": q_ev_anf,
         "ev_harmonic": q_ev_harmonic,
         "doc_dsir": q_doc_dsir,
+        "doc_dsir_select": q_doc_dsir_select,
+        "ev_effdiam": q_ev_effdiam,
     }
 
 
@@ -1531,6 +1553,55 @@ s{t} AS (SELECT p.id, {orcols} FROM {prev} p LEFT JOIN g{t} g ON p.id = g.id)"""
     return sql + f"""
 SELECT s0.id, round({acc}, 6) AS harmonic
 FROM s0 {joins}"""
+
+
+def _effdiam_sql(
+    edges_sql: str, q: float = 0.9, registers: int = 4, iterations: int = 3
+) -> str:
+    """q-effective diameter off the unrolled NF curve — twin of
+    operators/anf.effective_diameter (NF(0) = FM estimate of the singleton
+    balls; linear interpolation mirrors the Python expression order)."""
+    R, PHI, MAXPOS, T = registers, 0.77351, 50, iterations
+    init = []
+    for r in range(R):
+        h = f"('0x' || substr(md5(concat('anf{r}|', CAST(id AS VARCHAR))), 1, 13))::BIGINT"
+        pos = f"least(bit_count(({h} & -({h})) - 1), {MAXPOS})"
+        init.append(f"(1::BIGINT << {pos}) AS b{r}")
+    orcols = ", ".join(f"(p.b{r} | coalesce(g.g{r}, 0)) AS b{r}" for r in range(R))
+    bor = ", ".join(f"bit_or(s.b{r}) AS g{r}" for r in range(R))
+    mean_idx = (
+        "("
+        + " + ".join(
+            f"CAST(bit_count(((~b{r}) & (b{r} + 1)) - 1) AS DOUBLE)" for r in range(R)
+        )
+        + f") / {R}.0"
+    )
+    est = f"(pow(2.0, {mean_idx}) / {PHI})"
+    sql = f"""
+WITH edges AS ({edges_sql}),
+und AS (SELECT src, dst FROM edges WHERE src <> dst
+        UNION SELECT dst, src FROM edges WHERE src <> dst),
+verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+s0 AS (SELECT id, {", ".join(init)} FROM verts)"""
+    prev = "s0"
+    nf_terms = [f"SELECT 0 AS t, round(sum({est}), 4) AS nf FROM s0"]
+    for t in range(1, T + 1):
+        sql += f""",
+g{t} AS (SELECT u.src AS id, {bor} FROM und u JOIN {prev} s ON s.id = u.dst
+         GROUP BY u.src),
+s{t} AS (SELECT p.id, {orcols} FROM {prev} p LEFT JOIN g{t} g ON p.id = g.id)"""
+        nf_terms.append(f"SELECT {t} AS t, round(sum({est}), 4) AS nf FROM s{t}")
+        prev = f"s{t}"
+    return sql + f""",
+nfs AS ({" UNION ALL ".join(nf_terms)}),
+tgt AS (SELECT {q} * nf AS target FROM nfs WHERE t = {T}),
+lagged AS (SELECT t, nf, lag(nf) OVER (ORDER BY t) AS prev FROM nfs),
+hit AS (SELECT l.t, l.nf, l.prev, g.target FROM lagged l, tgt g
+        WHERE l.nf >= g.target ORDER BY l.t LIMIT 1)
+SELECT CASE WHEN t = 0 THEN 0.0
+            ELSE round((t - 1) + (target - prev) / (nf - prev), 6)
+       END AS eff_diameter
+FROM hit"""
 
 
 _DSIR_SQL = r"""
@@ -2310,4 +2381,14 @@ FROM und u JOIN deg d1 ON u.src = d1.id JOIN deg d2 ON u.dst = d2.id""",
         "ev_anf": _anf_sql(EV_EDGES_SQL, registers=4, iterations=3),
         "ev_harmonic": _harmonic_sql(EV_EDGES_SQL, registers=4, iterations=3),
         "doc_dsir": _DSIR_SQL,
+        "ev_effdiam": _effdiam_sql(EV_EDGES_SQL, q=0.9, registers=4, iterations=3),
+        "doc_dsir_select": f"""
+WITH w AS ({_DSIR_SQL})
+SELECT doc_id, n_grams, log_weight,
+       round(log_weight
+             - ln(-ln((('0x' || substr(md5(concat('dsir|', CAST(doc_id AS VARCHAR))), 1, 13))::BIGINT
+                       + 0.5) / {float(1 << 52)})), 6) AS sel_score
+FROM w
+ORDER BY sel_score DESC, doc_id
+LIMIT 50""",
     }

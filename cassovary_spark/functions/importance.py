@@ -110,3 +110,42 @@ def dsir_weights(
             F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
         )
     )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    smoothing: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """The selection stage of DSIR: sample ``k`` corpus documents with
+    probability proportional to exp(log_weight) via the Gumbel-top-k trick
+    (perturb each log-weight with an independent Gumbel draw, keep the k
+    largest). The Gumbel draws come from the md5-long stream (seeded by
+    ``seed``|doc_id), so selection is deterministic, partitioning-free,
+    and DuckDB-replayable.
+
+    Scale: orderBy().limit(k) compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver; nothing global
+    sorts. Returns ``(doc_id, n_grams, log_weight, sel_score)``."""
+    w = dsir_weights(corpus, target, text_col, id_col, buckets, smoothing)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}|"), F.col("doc_id").cast("string"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long")
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.withColumn("sel_score", F.round(F.col("log_weight") + gumbel, 6))
+        .orderBy(F.desc("sel_score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -16,6 +16,7 @@ from cassovary_spark.operators.mutual import mutual_edge_count
 from cassovary_spark.operators.kcore import k_core
 from cassovary_spark.operators.stats import degree_assortativity, degree_distribution
 from cassovary_spark.operators.anf import (
+    effective_diameter,
     harmonic_centrality_sketch,
     neighborhood_function,
 )
@@ -63,6 +64,7 @@ __all__ = [
     "degree_distribution",
     "neighborhood_function",
     "harmonic_centrality_sketch",
+    "effective_diameter",
     "bipartite_link_analysis",
     "BipartiteAnalysis",
     "bfs",

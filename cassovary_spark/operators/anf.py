@@ -140,6 +140,70 @@ def neighborhood_function(
     return spark.createDataFrame(out_rows, "t int, nf double")
 
 
+def effective_diameter(
+    edges: DataFrame,
+    q: float = 0.9,
+    iterations: int = 3,
+    registers: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """HyperANF's headline output: the q-effective diameter — the (linearly
+    interpolated) number of hops within which q of all reachable pairs are
+    reached, read off the NF curve (Boldi-Rosa-Vigna WWW'11 §2). Returns a
+    1-row ``(eff_diameter double)`` frame.
+
+    NF(0) is the FM estimate of the singleton balls (not the exact vertex
+    count) so the curve is monotone by construction and the whole
+    computation replays in the SQL oracle."""
+    spark = edges.sparkSession
+    from pyspark.sql import Observation
+
+    from cassovary_spark.plans import choose_partitions, superstep_conf
+
+    m0 = edges.count()
+    p = choose_partitions(spark, m0, num_partitions)
+    und = mutualize(edges).repartition(p, "dst").sortWithinPartitions("dst").persist()
+    verts = vertices_of(edges)
+    regs = list(range(registers))
+
+    scratch = StateScratch(spark)
+    nf = {}
+    try:
+      with superstep_conf(spark, p, m0):
+        obs0 = Observation()
+        state = scratch.roundtrip(
+            verts.select("id", *_init_sketch_cols(registers))
+            .observe(obs0, F.round(F.sum(_est_col(registers)), 4).alias("nf"))
+            .repartition(p, "id"),
+            bucket_by="id", num_buckets=p,
+        )
+        nf[0] = float(obs0.get["nf"])
+        for t in range(1, iterations + 1):
+            joined, merged = _gather_step(und, state, regs)
+            obs = Observation()
+            state = scratch.roundtrip(
+                joined.select("id", *merged).observe(
+                    obs, F.round(F.sum(_est_col(registers)), 4).alias("nf")
+                ),
+                bucket_by="id", num_buckets=p,
+            )
+            nf[t] = float(obs.get["nf"])
+    finally:
+        scratch.close()
+        und.unpersist()
+
+    target = q * nf[iterations]
+    d = 0.0
+    if nf[0] < target:
+        for t in range(1, iterations + 1):
+            if nf[t] >= target:
+                d = (t - 1) + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
+                break
+    return spark.createDataFrame(
+        [(round(d, 6),)], "eff_diameter double"
+    )
+
+
 def harmonic_centrality_sketch(
     edges: DataFrame,
     iterations: int = 3,

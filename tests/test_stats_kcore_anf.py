@@ -124,6 +124,18 @@ def test_harmonic_sketch_path_center_beats_ends(spark):
     assert mid > ends
 
 
+def test_effective_diameter_clique_vs_path(spark):
+    from cassovary_spark.operators import effective_diameter
+
+    n = 8
+    clique = edges_df(spark, [(a, b) for a in range(n) for b in range(n) if a != b])
+    path = edges_df(spark, [(i, i + 1) for i in range(30)])
+    d_clique = effective_diameter(clique, q=0.9, iterations=3).first()[0]
+    d_path = effective_diameter(path, q=0.9, iterations=3).first()[0]
+    assert 0.0 <= d_clique <= 1.5  # everything reached in one hop
+    assert d_path > d_clique  # a path needs (much) more hops for 90%
+
+
 def test_dsir_weights_prefer_target_like_docs(spark):
     target_words = "alpha beta gamma delta"
     other_words = "omega psi chi phi"
@@ -142,6 +154,29 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     other = [w[i] for i in range(1, 40, 2)]
     assert min(tgt_like) > max(other)
     assert all(map(math.isfinite, w.values()))
+
+
+def test_dsir_select_is_deterministic_and_biased_to_target(spark):
+    from cassovary_spark.functions import dsir_select
+
+    target_words = "alpha beta gamma delta"
+    other_words = "omega psi chi phi"
+    corpus = spark.createDataFrame(
+        [(i, target_words if i % 2 == 0 else other_words) for i in range(60)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, target_words)], "doc_id long, text string"
+    )
+    a = [r.doc_id for r in dsir_select(corpus, target, k=20).collect()]
+    b = [r.doc_id for r in dsir_select(corpus, target, k=20).collect()]
+    assert a == b  # md5-seeded Gumbel draws: fully deterministic
+    # weight gap is large vs Gumbel noise, so the selection should be
+    # dominated by target-like (even) docs
+    assert sum(1 for d in a if d % 2 == 0) >= 15
+    # different seed -> different draws (same determinism contract)
+    c = [r.doc_id for r in dsir_select(corpus, target, k=20, seed="other").collect()]
+    assert a != c or len(set(a)) == 20
 
 
 def test_dsir_zero_gram_docs_get_zero(spark):
