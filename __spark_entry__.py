@@ -1311,6 +1311,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dsir_weights(d, tgt, buckets=256)
 
+    def q_ev_transitivity(spark, sf):
+        """Exact (triangles, wedges, transitivity) triple — the reference's
+        TriangleCount output pair (TriangleCount.scala:168-184), exact."""
+        from cassovary_spark.operators import transitivity_stats
+
+        s = transitivity_stats(_ev_edges(spark, sf))
+        return spark.createDataFrame(
+            [(int(s["triangles"]), int(s["wedges"]), round(s["transitivity"], 6))],
+            "triangles bigint, wedges bigint, transitivity double",
+        )
+
     def q_ev_effdiam(spark, sf):
         """q=0.9 effective diameter off the FM NF curve (HyperANF's
         headline output) — oracle replays sketches AND interpolation."""
@@ -1397,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir": q_doc_dsir,
         "doc_dsir_select": q_doc_dsir_select,
         "ev_effdiam": q_ev_effdiam,
+        "ev_transitivity": q_ev_transitivity,
     }
 
 
@@ -2382,6 +2394,24 @@ FROM und u JOIN deg d1 ON u.src = d1.id JOIN deg d2 ON u.dst = d2.id""",
         "ev_harmonic": _harmonic_sql(EV_EDGES_SQL, registers=4, iterations=3),
         "doc_dsir": _DSIR_SQL,
         "ev_effdiam": _effdiam_sql(EV_EDGES_SQL, q=0.9, registers=4, iterations=3),
+        "ev_transitivity": f"""
+WITH edges AS ({EV_EDGES_SQL}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+tri AS (
+  SELECT count(*)::BIGINT AS t
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (
+  SELECT src, count(*) AS d FROM (
+    SELECT a AS src FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY src
+),
+wed AS (SELECT sum(d * (d - 1) / 2)::BIGINT AS w FROM deg)
+SELECT t AS triangles, w AS wedges,
+       round(3.0 * t / w, 6) AS transitivity
+FROM tri, wed""",
         "doc_dsir_select": f"""
 WITH w AS ({_DSIR_SQL})
 SELECT doc_id, n_grams, log_weight,
