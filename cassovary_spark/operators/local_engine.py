@@ -223,32 +223,48 @@ def label_propagation_numpy(
     its label when it has no neighbors. Runs ``max_iterations`` rounds or
     until no label changes; returns ``(labels, rounds_run)`` so callers
     report the ACTUAL iteration count on early convergence (ADVICE r4)."""
-    n = len(ids)
+    n = np.int64(len(ids))
     labels = np.arange(n, dtype=np.int64)  # positions into ids
     # graph.mutualize semantics: union with transpose, DEDUPE, drop self-loops
     a = np.concatenate([si, di])
     b = np.concatenate([di, si])
     keep = a != b
     a, b = a[keep], b[keep]
-    key = a * np.int64(n) + b
-    uniq = np.unique(key)
+    uniq = np.unique(a * n + b)
     av, bv = uniq // n, uniq % n
+    av_n = av * n  # hoisted: the per-round key is av*n + current labels
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
-        lab = labels[bv]
-        # most frequent neighbor label per vertex, ties -> smallest label id
-        df = pd.DataFrame({"v": av, "lab": ids[lab]})
-        cnt = df.groupby(["v", "lab"], sort=False).size().reset_index(name="c")
-        cnt = cnt.sort_values(["v", "c", "lab"], ascending=[True, False, True],
-                              kind="mergesort")
-        best = cnt.drop_duplicates("v", keep="first")
-        new_labels_ext = ids[labels].copy()
-        new_labels_ext[best["v"].to_numpy()] = best["lab"].to_numpy()
-        new_pos = np.searchsorted(ids, new_labels_ext)
-        if (new_pos == labels).all():
+        # most frequent neighbor label per vertex, ties -> smallest label id.
+        # Pure-numpy mode: sort the packed (v, label) keys once per round,
+        # run-length-encode to per-pair counts, then a segmented argmax via
+        # reduceat. Label POSITIONS order identically to external labels
+        # (ids is sorted ascending), so "smallest position" == "smallest
+        # label" and the first max-count entry of each v-segment (lp
+        # ascending) is the winner. Replaces a pandas groupby + stable
+        # 3-key mergesort (measured ~7x at 3.2M edges, sf1 turn graph).
+        key = np.sort(av_n + labels[bv])
+        if key.size == 0:
             break
-        labels = new_pos
+        change = key[1:] != key[:-1]
+        starts_pair = np.concatenate([[0], np.flatnonzero(change) + 1])
+        uk = key[starts_pair]
+        cnt = np.diff(np.concatenate([starts_pair, [key.size]]))
+        v = uk // n
+        lp = uk - v * n
+        vchange = v[1:] != v[:-1]
+        starts = np.concatenate([[0], np.flatnonzero(vchange) + 1])
+        seglens = np.diff(np.concatenate([starts, [uk.size]]))
+        segmax = np.maximum.reduceat(cnt, starts)
+        idx = np.arange(uk.size, dtype=np.int64)
+        cand = np.where(cnt == np.repeat(segmax, seglens), idx, uk.size)
+        best_idx = np.minimum.reduceat(cand, starts)
+        new_labels = labels.copy()
+        new_labels[v[best_idx]] = lp[best_idx]
+        if (new_labels == labels).all():
+            break
+        labels = new_labels
     return ids[labels], rounds
 
 
