@@ -205,3 +205,47 @@ def test_stream_delta_df_compact_pagerank(spark, tmp_path):
     full_edges.unpersist()
     base.unpersist()
     assert pr_stream == pr_batch
+
+
+def test_stream_bucketed_state_equals_per_conversation(spark, tmp_path):
+    """The bucketed-state fast path (r6: per-group cost amortized over a
+    conversation bucket) must emit exactly the per-conversation layout's
+    edges, including duplicate turn_idx rows and state-crossing pairs."""
+    import os
+
+    t = synth_transcripts(spark, n_convs=15, seed=11).persist()
+    # inject duplicate + below-state rows: re-send turn 1 in the second chunk
+    dup = t.filter(F.col("turn_idx") == 1)
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    t.filter(F.col("turn_idx") < 2).coalesce(1).write.parquet(f"{src_dir}/b0")
+    t.filter(F.col("turn_idx") >= 2).unionAll(dup).coalesce(1).write.parquet(
+        f"{src_dir}/b1"
+    )
+
+    results = []
+    for name, buckets in (("bkt", 7), ("perconv", 0)):
+        stream = (
+            spark.readStream.schema(t.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src_dir}/b*")
+        )
+        q = (
+            stream_turn_edges(stream, state_buckets=buckets)
+            .writeStream.format("memory")
+            .queryName(f"bkt_eq_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        results.append(
+            sorted(
+                (r["src"], r["dst"])
+                for r in spark.table(f"bkt_eq_{name}").collect()
+            )
+        )
+    t.unpersist()
+    assert results[0] == results[1]
+    assert len(results[0]) > 0
