@@ -251,6 +251,14 @@ class StateScratch:
             keys = {
                 "spark.sql.parquet.compression.codec": "uncompressed",
                 "spark.hadoop.parquet.enable.dictionary": "false",
+                # scratch state is rewritten wholesale every superstep and
+                # never read by another job mid-write: the v1 commit's
+                # task-dir -> job-dir double rename and the _SUCCESS marker
+                # buy nothing here (r6, measured ~5%/superstep at 3.2M
+                # edges). Durable CheckpointStore artifacts keep the session
+                # defaults.
+                "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+                "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs": "false",
             }
             old = {k: self.spark.conf.get(k, None) for k in keys}
             for k, v in keys.items():

@@ -90,7 +90,11 @@ def _gather_step(und, state, regs):
         ).alias(f"b{r}")
         for r in regs
     ]
-    return state.join(gathered, "id", "left"), merged
+    from cassovary_spark.plans import update_join_hint
+
+    # state-update join: hash-build the fresh aggregate instead of sorting it
+    # (plans.update_join_hint rationale)
+    return state.join(gathered.hint(update_join_hint().lower()), "id", "left"), merged
 
 
 def neighborhood_function(

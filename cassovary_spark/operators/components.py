@@ -46,7 +46,14 @@ def connected_components(
     the scaling harness's instrumentation (scripts/scaling_run.py); the
     numpy twin records ``iterations`` only."""
     spark = edges.sparkSession
-    from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions, superstep_conf
+    from cassovary_spark.plans import (
+        LOCAL_EDGE_THRESHOLD,
+        choose_partitions,
+        superstep_conf,
+        update_join_hint,
+    )
+
+    _UPD = update_join_hint()
 
     m0 = edges.count()
     if engine == "local" and (checkpoint is not None or resume):
@@ -119,7 +126,7 @@ def connected_components(
       SELECT /*+ MERGE(e) */ e.src AS id, min(l.component) AS nbr_component
       FROM {und_view} e JOIN {state_table} l ON e.dst = l.id
       GROUP BY e.src"""
-                update = f"""SELECT s.id,
+                update = f"""SELECT /*+ {_UPD}(c) */ s.id,
          least(s.component, coalesce(c.nbr_component, s.component)) AS component
   FROM {state_table} s
   LEFT JOIN ({gather}
@@ -140,8 +147,12 @@ def connected_components(
                     )
                     upd_table = scratch.last_table
                     if upd_table is not None:
+                        # SHUFFLE_HASH(lut): the probe side is keyed on
+                        # `component` (unsorted, un-co-partitioned), so SMJ
+                        # would sort BOTH sides after their exchanges; the
+                        # hash build of the O(V) lut is the cheaper half
                         new_labels = spark.sql(f"""
-  SELECT nl.id, coalesce(lut.component, nl.component) AS component
+  SELECT /*+ {_UPD}(lut) */ nl.id, coalesce(lut.component, nl.component) AS component
   FROM {upd_table} nl
   LEFT JOIN {upd_table} lut ON nl.component = lut.id""")
                     else:
@@ -149,7 +160,9 @@ def connected_components(
                             F.col("id").alias("component"),
                             F.col("component").alias("jump"),
                         )
-                        new_labels = upd.join(lut, "component", "left").select(
+                        new_labels = upd.join(
+                            lut.hint(_UPD.lower()), "component", "left"
+                        ).select(
                             "id", F.coalesce("jump", "component").alias("component")
                         )
                 else:
@@ -164,7 +177,7 @@ def connected_components(
                     .agg(F.min("component").alias("nbr_component"))
                 )
                 new_labels = (
-                    labels.join(nbr_min, "id", "left")
+                    labels.join(nbr_min.hint(_UPD.lower()), "id", "left")
                     .select(
                         "id",
                         F.least(
@@ -183,7 +196,9 @@ def connected_components(
                         F.col("id").alias("component"),
                         F.col("component").alias("jump"),
                     )
-                    new_labels = upd.join(lut, "component", "left").select(
+                    new_labels = upd.join(
+                        lut.hint(_UPD.lower()), "component", "left"
+                    ).select(
                         "id", F.coalesce("jump", "component").alias("component")
                     )
                 new_labels = new_labels.repartition(p, "id")

@@ -44,7 +44,14 @@ def hits(
     engine: str = "auto",
 ) -> HitsResult:
     spark = edges.sparkSession
-    from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions, superstep_conf
+    from cassovary_spark.plans import (
+        LOCAL_EDGE_THRESHOLD,
+        choose_partitions,
+        superstep_conf,
+        update_join_hint,
+    )
+
+    _upd = update_join_hint().lower()
 
     m0 = edges.count()
     if engine == "auto":
@@ -108,7 +115,7 @@ def hits(
               .agg(F.sum("hub").alias("a_raw"))
           )
           auth_full = (
-              verts.join(auth_raw, "id", "left")
+              verts.join(auth_raw.hint(_upd), "id", "left")
               .select("id", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
               .repartition(p, "id")
           )
@@ -122,10 +129,13 @@ def hits(
           # carry the previous (normalized) hub along and collect the per-side
           # maxes via ``observe`` DURING the materialization — the reference's
           # scale-by-max pass (Hits.scala:53-56,101) without its own scan
+          # both non-state sides hash-build (update_join_hint): hub_raw is a
+          # fresh aggregate and the first join's SHJ output loses the sort
+          # order SMJ would have needed from the second
           joined = (
               state.select("id", F.col("hub").alias("prev_hub"))
-              .join(hub_raw, "id", "left")
-              .join(auth_full, "id")
+              .join(hub_raw.hint(_upd), "id", "left")
+              .join(auth_full.hint(_upd), "id")
               .select(
                   "id", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
                   "a_raw", "prev_hub",

@@ -46,7 +46,14 @@ def label_propagation(
     the scaling harness's instrumentation (scripts/scaling_run.py); the
     numpy twin records ``iterations`` only."""
     spark = edges.sparkSession
-    from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions, superstep_conf
+    from cassovary_spark.plans import (
+        LOCAL_EDGE_THRESHOLD,
+        choose_partitions,
+        superstep_conf,
+        update_join_hint,
+    )
+
+    _UPD = update_join_hint()
 
     m0 = edges.count()
     if engine == "local" and (checkpoint is not None or resume):
@@ -116,7 +123,7 @@ def label_propagation(
                 # and NO per-partition sort of the (id,label) frame (r4;
                 # measured in BENCH/BASELINE.md)
                 new_labels = spark.sql(f"""
-  SELECT s.id, coalesce(ml.new_label, s.label) AS label, s.label AS prev
+  SELECT /*+ {_UPD}(ml) */ s.id, coalesce(ml.new_label, s.label) AS label, s.label AS prev
   FROM {state_table} s LEFT JOIN (
       SELECT id, t.lab AS new_label FROM (
           SELECT id, min(named_struct('negc', -cnt, 'lab', label)) AS t
@@ -150,7 +157,7 @@ def label_propagation(
                     .select("id", F.col("t.lab").alias("new_label"))
                 )
                 new_labels = (
-                    labels.join(mode_label, "id", "left")
+                    labels.join(mode_label.hint(_UPD.lower()), "id", "left")
                     .select(
                         "id",
                         F.coalesce("new_label", "label").alias("label"),

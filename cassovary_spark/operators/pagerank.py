@@ -87,7 +87,14 @@ def pagerank(
     # partition count scales with the edge count (capped by
     # spark.sql.shuffle.partitions) — one cheap pre-scan buys every superstep
     # a task count matched to the data (plans.choose_partitions)
-    from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions, superstep_conf
+    from cassovary_spark.plans import (
+        LOCAL_EDGE_THRESHOLD,
+        choose_partitions,
+        superstep_conf,
+        update_join_hint,
+    )
+
+    _UPD = update_join_hint()
 
     m0 = edges.count()
     if engine == "local" and (checkpoint is not None or resume):
@@ -204,16 +211,19 @@ def pagerank(
             _t0 = _time.time()
             dangle_sum = damping * dangle_mass / n
 
-            # MERGE hints pin sort-merge joins: never broadcast the O(V) rank
-            # table (a per-superstep driver roundtrip, fatal at scale), and the
-            # pre-sorted cached sides make SMJ sort only the small fresh side.
+            # Join strategy is pinned per role: the GATHER join keeps MERGE
+            # (both sides pre-sorted on the key — zero-sort SMJ) and the
+            # update join uses plans.update_join_hint() (SHUFFLE_HASH by
+            # default: skips sorting the fresh aggregate, r6 measured -13%
+            # whole-superstep); neither ever broadcasts the O(V) rank table
+            # (a per-superstep driver roundtrip, fatal at scale).
             if gather_engine != "pandas" and state_table is not None:
                 # one spark.sql() call instead of ~15 py4j DataFrame-building
                 # round-trips — measured ~10% of the superstep fixed cost at
                 # 319k edges (scripts/profile_superstep7.py); plan and
                 # checksums identical to the DataFrame build below
                 new_ranks = spark.sql(f"""
-  SELECT /*+ MERGE(c) */ s.id,
+  SELECT /*+ {_UPD}(c) */ s.id,
          coalesce(c.gathered, 0.0d) + {damping_amount!r}d + {dangle_sum!r}d
              AS pagerank,
          s.is_dangling,
@@ -248,8 +258,11 @@ def pagerank(
                 # (measured: the explicit exchange only cost time,
                 # scripts/profile_superstep4.py).
                 new_ranks = (
-                    ranks.hint("merge")
-                    .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+                    ranks.join(
+                        contribs.withColumnRenamed("dst", "id").hint(_UPD.lower()),
+                        "id",
+                        "left",
+                    )
                     .select(
                         "id",
                         (

@@ -640,7 +640,14 @@ def personalized_pagerank(
     if not seeds:
         raise ValueError("seeds must be non-empty")
     spark = edges.sparkSession
-    from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions, superstep_conf
+    from cassovary_spark.plans import (
+        LOCAL_EDGE_THRESHOLD,
+        choose_partitions,
+        superstep_conf,
+        update_join_hint,
+    )
+
+    _upd = update_join_hint().lower()
 
     m0 = edges.count()
     if engine == "auto":
@@ -709,8 +716,9 @@ def personalized_pagerank(
               .agg(F.sum(F.col("w") * F.col("score")).alias("gathered"))
           )
           new_ranks = (
-              ranks.hint("merge")
-              .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+              ranks.join(
+                  contribs.withColumnRenamed("dst", "id").hint(_upd), "id", "left"
+              )
               .select(
                   "id",
                   (

@@ -8,6 +8,7 @@ from cassovary_spark.plans.layout import (
     choose_partitions,
     salted_gather_sum,
     superstep_conf,
+    update_join_hint,
     degree_buckets,
 )
 from cassovary_spark.plans.partitioners import (
@@ -23,6 +24,7 @@ __all__ = [
     "LOCAL_EDGE_THRESHOLD",
     "choose_partitions",
     "superstep_conf",
+    "update_join_hint",
     "salted_gather_sum",
     "degree_buckets",
     "random_node_mapper",

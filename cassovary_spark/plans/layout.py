@@ -36,6 +36,26 @@ LOCAL_EDGE_THRESHOLD = 4_000_000
 from contextlib import contextmanager
 
 
+def update_join_hint() -> str:
+    """Join hint for the per-superstep STATE-UPDATE join (bucketed state x
+    the superstep's fresh aggregate, both hash(id)-partitioned, so neither
+    side exchanges either way). SHUFFLE_HASH skips the per-superstep SORT of
+    the fresh aggregated side that sort-merge would insert (the bucketed
+    state side is pre-sorted and is the streamed side in both strategies, so
+    row order — and thus every observed FP sum — is unchanged); measured
+    -13% whole-superstep at 3.2M edges, r6. The build side is the aggregate:
+    <= V/p rows with p sized at ~ROWS_PER_PARTITION, so the per-task hash
+    table is bounded at any scale. CASSOVARY_UPDATE_JOIN=merge pins
+    sort-merge (graceful spill) for clusters with tight executor memory.
+    GATHER joins (edge table x state, both pre-sorted on the join key) stay
+    MERGE: their SMJ sorts nothing and a hash build of the state would be
+    pure overhead."""
+    import os
+
+    v = os.environ.get("CASSOVARY_UPDATE_JOIN", "shuffle_hash").lower()
+    return "MERGE" if v == "merge" else "SHUFFLE_HASH"
+
+
 @contextmanager
 def superstep_conf(spark, num_partitions: int, rows: int):
     """Session conf scope for a small graph's superstep loop: AQE off (its
