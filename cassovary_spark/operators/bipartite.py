@@ -51,8 +51,10 @@ def _bipartite_local(
     """Numpy twin route for sub-threshold graphs (COST-aware engine choice,
     operators/local_engine.py) — one Arrow transfer of edges + supplied
     weights, bincount flow passes, equality-tested vs the distributed path
-    (tests/test_bipartite.py). Rows emitted as plain Python tuples so
-    non-Arrow (bare driver) sessions convert the array column safely."""
+    (tests/test_bipartite.py). Results return through an arrow Table (+ the
+    scratch-parquet spill past RESULT_SCRATCH_THRESHOLD rows — the
+    LocalTableScan-tax rule): the r5 path built per-row Python tuples,
+    which at 160k-vertex sides cost seconds per downstream action (r6)."""
     import numpy as np
 
     from cassovary_spark.operators import local_engine as LE
@@ -70,14 +72,23 @@ def _bipartite_local(
         num_top_contributors,
         rounding,
     )
+    import pyarrow as pa
+
     schema = "id long, weight double, contributors array<bigint>"
-    left = spark.createDataFrame(
-        [(int(i), float(w), c) for i, w, c in zip(l_ids, lw, l_c)], schema
-    )
-    right = spark.createDataFrame(
-        [(int(i), float(w), c) for i, w, c in zip(r_ids, rw, r_c)], schema
-    )
-    return BipartiteAnalysis(left, right)
+
+    def side(ids, w, contribs):
+        tbl = pa.table(
+            {
+                "id": pa.array(np.asarray(ids, dtype=np.int64), type=pa.int64()),
+                "weight": pa.array(np.asarray(w, dtype=np.float64), type=pa.float64()),
+                "contributors": pa.array(
+                    [list(map(int, c)) for c in contribs], type=pa.list_(pa.int64())
+                ),
+            }
+        )
+        return LE.arrow_result_df(spark, tbl, schema)
+
+    return BipartiteAnalysis(side(l_ids, lw, l_c), side(r_ids, rw, r_c))
 
 
 def bipartite_link_analysis(
@@ -103,9 +114,19 @@ def bipartite_link_analysis(
     spark = edges.sparkSession
     from cassovary_spark.plans import LOCAL_EDGE_THRESHOLD, choose_partitions
 
+    # bipartite's numpy twin is NOT O(m): the final-pass top-k contributor
+    # recording lexsorts the full edge flow (O(m log m) single-threaded), so
+    # its local/distributed crossover sits well below the memory-budget
+    # threshold the O(m)-kernel operators use (r6 measured: 10.4s local vs
+    # 8.8s distributed at 6M edges / local[32]) — cap it at 4M edges.
+    _BIPARTITE_LOCAL_CAP = 4_000_000
     m0 = edges.count()
     if engine == "auto":
-        engine = "local" if m0 <= LOCAL_EDGE_THRESHOLD else "distributed"
+        engine = (
+            "local"
+            if m0 <= min(LOCAL_EDGE_THRESHOLD, _BIPARTITE_LOCAL_CAP)
+            else "distributed"
+        )
     if engine == "local":
         return _bipartite_local(
             spark, edges, left_weights, num_iterations, reset_prob_left,
